@@ -1,0 +1,166 @@
+"""CLI driver: the TPU-native ``murb`` binary (ref: src/murb/main.cpp:309-407).
+
+Preserves the reference's observable behavior: configuration banner, verbose
+per-iteration status line (FPS, cumulative GFlop/s, physic time), and the
+final "Entire simulation took ..." summary, with the reference's FLOPs model
+(20*N^2/iteration) and GFlop/s convention (1024^3 divisor).
+
+Usage:  python -m murb_tpu -n 30000 -i 100 --im tpu+mxu --nv --gf -v
+"""
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from murb_tpu import create_engine, available_implementations
+from murb_tpu.core.init import make_bodies
+from murb_tpu.models import resolve_tag
+from murb_tpu.utils.args import MurbConfig, parse_args
+from murb_tpu.utils.perf import Perf
+from murb_tpu.utils.strdate import str_date
+from murb_tpu.visu import create_visu
+
+_DTYPES = {"fp32": "float32", "fp64": "float64", "bf16": "bfloat16"}
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache: first compile of a kernel is ~10-40s on
+    TPU; caching makes every later CLI/bench invocation start hot."""
+    import os
+
+    cache_dir = os.environ.get("MURB_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/murb_tpu_xla"))
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
+
+
+def build_engine(cfg: MurbConfig):
+    import jax.numpy as jnp
+
+    from murb_tpu.models import validate_tag
+
+    validate_tag(cfg.impl_tag)  # fail fast, before any device work
+    if cfg.precision == "fp64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.dtype(_DTYPES[cfg.precision])
+    bodies = make_bodies(
+        cfg.n_bodies, cfg.scheme, cfg.seed,
+        dtype=dtype, scheme_file=cfg.scheme_file,
+    )
+    return create_engine(
+        cfg.impl_tag, bodies,
+        soft=cfg.softening, dt=cfg.dt,
+        num_iterations=cfg.n_iterations,
+        chunk=cfg.chunk, block_i=cfg.block_i, block_j=cfg.block_j,
+        shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
+    )
+
+
+def print_banner(cfg: MurbConfig, engine) -> None:
+    # ref: main.cpp:323-334
+    mbytes = engine.allocated_bytes / 1024.0 / 1024.0
+    print("n-body simulation configuration:")
+    print("--------------------------------")
+    print(f"  -> bodies scheme     (-s    ): {cfg.scheme}")
+    print(f"  -> implementation    (--im  ): {cfg.impl_tag} "
+          f"[{resolve_tag(cfg.impl_tag)}]")
+    print(f"  -> nb. of bodies     (-n    ): {engine.bodies.n}")
+    print(f"  -> nb. of iterations (-i    ): {cfg.n_iterations}")
+    print(f"  -> verbose mode      (-v    ): "
+          f"{'enable' if cfg.verbose else 'disable'}")
+    print(f"  -> precision                 : {cfg.precision}")
+    print(f"  -> mem. allocated            : {mbytes:g} MB")
+    print(f"  -> devices                   : "
+          f"{[str(d) for d in jax.devices()]}")
+    print(f"  -> time step         (--dt  ): {cfg.dt:g} sec")
+    print(f"  -> softening factor  (--soft): {cfg.softening:g}")
+
+
+def main(argv=None) -> int:
+    cfg = parse_args(argv)
+    enable_compile_cache()
+
+    if cfg.list_impls:
+        for tag, aliases in sorted(available_implementations().items()):
+            alias_str = f"  (aliases: {', '.join(aliases)})" if aliases else ""
+            print(f"  {tag}{alias_str}")
+        return 0
+
+    try:
+        engine = build_engine(cfg)
+    except (ValueError, FileNotFoundError) as e:
+        # ref: main.cpp:265-268 -- clean exit on unknown implementation
+        print(e)
+        return 1
+    print_banner(cfg, engine)
+    visu = create_visu(cfg)
+
+    print("Simulation started...")
+
+    perf_ite, perf_total = Perf(), Perf()
+    physic_time = 0.0
+    n_done = 0
+
+    if cfg.scan:
+        # One lax.scan dispatch for the whole run (no per-iteration timing).
+        perf_total.start()
+        engine.run(cfg.n_iterations)
+        engine.block_until_ready()
+        perf_total.stop()
+        n_done = cfg.n_iterations
+        physic_time = cfg.n_iterations * engine.dt
+    else:
+        for i_ite in range(1, cfg.n_iterations + 1):
+            if visu.window_should_close():
+                break
+            visu.refresh_display(engine.bodies, time_s=physic_time)
+
+            perf_ite.start()
+            engine.compute_one_iteration()
+            engine.block_until_ready()   # analogue of cudaDeviceSynchronize
+            perf_ite.stop()
+            perf_total += perf_ite
+
+            physic_time += engine.dt
+            n_done = i_ite
+
+            if cfg.verbose:
+                gflops = ""
+                if cfg.show_gflops:
+                    gflops = (f", {perf_total.get_gflops(engine.flops_per_ite * i_ite):6.1f}"
+                              " Gflop/s")
+                print(
+                    f"Iteration n°{i_ite:4d} "
+                    f"({perf_total.get_fps(i_ite):6.1f} FPS{gflops}), "
+                    f"physic time: {str_date(physic_time)}",
+                    end="\r",
+                    flush=(i_ite % 5 == 0),
+                )
+        if cfg.verbose:
+            print()
+
+    print("Simulation ended.")
+    print()
+    gflops = ""
+    if cfg.show_gflops:
+        gflops = f", {perf_total.get_gflops(engine.flops_per_ite * n_done):6.1f} Gflop/s"
+    print(
+        f"Entire simulation took {perf_total.get_elapsed_time():g} ms "
+        f"({perf_total.get_fps(n_done):g} FPS{gflops})"
+    )
+
+    if cfg.csv and hasattr(engine, "history"):
+        engine.history.save_metrics_to_csv(cfg.csv)
+        print(f"Metrics written to {cfg.csv}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""Conserved-quantity metrics: total energy, angular momentum, density center.
+
+TPU-native rebuild of the reference's metrics kernel + CUB reduction
+(ref: src/murb/implem/SimulationNBodyCUDAPropertyTracking.cu:217-304,
+334-369): pure jnp reductions that XLA fuses into the step; when run under
+``lax.scan`` the per-iteration history lands in device memory as scan ``ys``
+with no per-iteration device-to-host copies (the reference copies the history
+D2H every iteration, ref: SimulationNBodyCUDAPropertyTracking.cu:131).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from murb_tpu import G
+
+
+def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
+                              out_dtype=jnp.float32) -> jax.Array:
+    """PE_i = -m_i * sum_j Gm_j * rsqrt(|r_ij|^2 + eps^2), self-term removed.
+
+    Mirrors the reference's tile sweep which includes j == i and then
+    compensates with ``+ m_i*Gm_i*rsqrt(eps^2)`` (ref:
+    SimulationNBodyCUDAPropertyTracking.cu:271-302).  Chunked over i to keep
+    memory O(chunk * N).
+    """
+    npad = qx.shape[0]
+    chunk = min(chunk, npad)
+    if npad % chunk != 0:
+        from murb_tpu.ops.common import pick_block
+
+        chunk = pick_block(npad, chunk)
+    assert npad % chunk == 0
+    dtype = qx.dtype
+    soft2 = jnp.asarray(soft, dtype) ** 2
+
+    qi = jnp.stack([qx, qy, qz], axis=0).reshape(3, npad // chunk, chunk)
+    qi = jnp.moveaxis(qi, 1, 0)
+
+    def one_chunk(qc):
+        dx = qx[None, :] - qc[0][:, None]
+        dy = qy[None, :] - qc[1][:, None]
+        dz = qz[None, :] - qc[2][:, None]
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + soft2)
+        return jnp.sum(gm[None, :].astype(out_dtype) * inv.astype(out_dtype), axis=1)
+
+    sweep = jax.lax.map(one_chunk, qi).reshape(npad)
+    self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
+    return -m.astype(out_dtype) * (sweep - self_term)
+
+
+def kinetic_energy_per_body(m, vx, vy, vz, out_dtype=jnp.float32) -> jax.Array:
+    v2 = (vx * vx + vy * vy + vz * vz).astype(out_dtype)
+    return m.astype(out_dtype) * v2
+
+
+def total_energy(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32):
+    """E = sum_i (PE_i/2 + KE_i/2) with KE_i = m_i |v_i|^2 (the reference halves
+    both: PE for double counting, KE for the 1/2 m v^2 factor, ref:
+    SimulationNBodyCUDAPropertyTracking.cu:296-302)."""
+    pe = potential_energy_per_body(
+        state.qx, state.qy, state.qz, state.m,
+        jnp.asarray(G, state.dtype) * state.m, soft,
+        chunk=chunk, out_dtype=out_dtype,
+    )
+    ke = kinetic_energy_per_body(state.m, state.vx, state.vy, state.vz, out_dtype)
+    half = jnp.asarray(0.5, out_dtype)
+    return jnp.sum(pe * half + ke * half)
+
+
+def angular_momentum(state, out_dtype=jnp.float32):
+    """|sum_i m_i (q_i x v_i)| -- scalar magnitude, matching the reference's
+    scalar ``angMomentums`` series (ref: src/common/core/SimulationHistory.hpp:14;
+    the reference declares the GPU kernel via COMPUTE_ANGMOMENTUM_METRIC but
+    never implements it -- this completes the capability)."""
+    m = state.m.astype(out_dtype)
+    qx, qy, qz = (a.astype(out_dtype) for a in (state.qx, state.qy, state.qz))
+    vx, vy, vz = (a.astype(out_dtype) for a in (state.vx, state.vy, state.vz))
+    lx = jnp.sum(m * (qy * vz - qz * vy))
+    ly = jnp.sum(m * (qz * vx - qx * vz))
+    lz = jnp.sum(m * (qx * vy - qy * vx))
+    # |L| ~ 1e33 overflows fp32 when squared; rescale before the norm so the
+    # magnitude survives in any dtype (TPU has no native f64).
+    s = jnp.maximum(jnp.maximum(jnp.abs(lx), jnp.abs(ly)),
+                    jnp.maximum(jnp.abs(lz), jnp.asarray(1e-30, out_dtype)))
+    nx, ny, nz = lx / s, ly / s, lz / s
+    return s * jnp.sqrt(nx * nx + ny * ny + nz * nz)
+
+
+def density_center(state, out_dtype=jnp.float32):
+    """Mass-weighted mean position, shape (3,) (ref data model:
+    src/common/core/SimulationHistory.hpp:15 ``densityCenters``)."""
+    m = state.m.astype(out_dtype)
+    total = jnp.maximum(jnp.sum(m), jnp.asarray(1e-30, out_dtype))
+    return jnp.stack([
+        jnp.sum(m * state.qx.astype(out_dtype)) / total,
+        jnp.sum(m * state.qy.astype(out_dtype)) / total,
+        jnp.sum(m * state.qz.astype(out_dtype)) / total,
+    ])
+
+
+def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32):
+    """(energy, angular momentum, density center) fused in one jitted call --
+    the analogue of COMPUTE_ALL_METRIC (ref:
+    SimulationNBodyCUDAPropertyTracking.cu:4-7)."""
+    return (
+        total_energy(state, soft, chunk=chunk, out_dtype=out_dtype),
+        angular_momentum(state, out_dtype),
+        density_center(state, out_dtype),
+    )

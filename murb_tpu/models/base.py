@@ -1,0 +1,152 @@
+"""Engine base classes: the TPU-native ``SimulationNBodyInterface``.
+
+The reference's abstract engine owns the body state, G, dt, softening and a
+FLOPs model, and exposes ``computeOneIteration()`` (ref:
+src/common/core/SimulationNBodyInterface.hpp:16-88).  Here an engine is a thin
+stateful host-side wrapper around a *pure jitted step function*
+``state -> (state, acc)`` with buffer donation, so the body state never leaves
+HBM between iterations (the property the reference only achieves in its
+``gpu+tile+full`` flagship, ref: SimulationNBodyCUDATileFullDevice.cu:203-236
+-- here every engine is fully device-resident by construction).
+
+Two drive modes:
+  * ``compute_one_iteration()`` -- one jitted step per call (the CLI frame
+    loop, per-iteration timing).
+  * ``run(n)``  -- a single ``lax.scan`` over n iterations, one device
+    dispatch for the whole simulation (maximum throughput; also how tracking
+    engines collect their history as scan ys).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from murb_tpu import G, DEFAULT_DT, DEFAULT_SOFTENING
+from murb_tpu.core.integrators import euler_update
+from murb_tpu.core.state import BodyState
+from murb_tpu.ops.common import Accel, flops_per_iteration
+
+
+class SimulationEngine:
+    """Common interface; concrete engines provide ``_make_step``."""
+
+    tag: str = "base"
+
+    def __init__(
+        self,
+        bodies: BodyState,
+        soft: float = DEFAULT_SOFTENING,
+        dt: float = DEFAULT_DT,
+        **kwargs,
+    ):
+        # Private copy: steps donate their input buffers, and donation must
+        # never invalidate a BodyState the caller still holds (differential
+        # tests feed the same initial state to two engines).
+        self._state = jax.tree.map(lambda a: jnp.array(a, copy=True), bodies)
+        self.soft = float(soft)
+        self._dt = float(dt)
+        self.G = G
+        self.flops_per_ite = flops_per_iteration(bodies.n)
+        self._last_acc: Accel | None = None
+        self._step = None          # jitted step, built lazily (dt is baked in)
+        self._run_cache: dict[int, object] = {}
+        self._iteration = 0
+
+    # ----------------------------------------------------------- properties
+    @property
+    def bodies(self) -> BodyState:
+        return self._state
+
+    @property
+    def dt(self) -> float:
+        return self._dt
+
+    def set_dt(self, dt: float) -> None:
+        if float(dt) != self._dt:
+            self._dt = float(dt)
+            self._step = None
+            self._run_cache.clear()
+
+    @property
+    def allocated_bytes(self) -> int:
+        return self._state.allocated_bytes
+
+    @property
+    def accelerations(self) -> Accel:
+        """Accelerations from the last iteration (test accessor, the analogue
+        of ``getAccSoA()``, ref: SimulationNBodyNaive.hpp)."""
+        if self._last_acc is None:
+            raise RuntimeError("no iteration computed yet")
+        return self._last_acc
+
+    # ------------------------------------------------------------- stepping
+    def _make_step(self):
+        """Return a jitted ``state -> (state, acc)``.  Subclasses override."""
+        raise NotImplementedError
+
+    def compute_one_iteration(self) -> None:
+        if self._step is None:
+            self._step = self._make_step()
+        self._state, self._last_acc = self._step(self._state)
+        self._iteration += 1
+
+    def run(self, n_iterations: int) -> None:
+        """Advance ``n_iterations`` steps in one device dispatch."""
+        for _ in range(n_iterations):
+            self.compute_one_iteration()
+
+    def block_until_ready(self) -> None:
+        jax.block_until_ready(self._state)
+
+    # ------------------------------------------------------------- plumbing
+    def _gm(self, state: BodyState) -> jax.Array:
+        """Precomputed G*m_j, the reference's ``devGM`` trick
+        (ref: SimulationNBodyCUDATileFullDevice.cu:41-45)."""
+        return jnp.asarray(self.G, state.dtype) * state.m
+
+
+class EulerAccelEngine(SimulationEngine):
+    """An engine defined by an acceleration kernel + explicit Euler update.
+
+    Covers the whole CPU/GPU non-leapfrog family of the reference: the only
+    difference between its 10 engines is how the O(N^2) sweep is computed.
+    """
+
+    def _acc_fn(self, qx, qy, qz, gm) -> Accel:
+        raise NotImplementedError
+
+    def _make_step(self):
+        dt = self._dt
+        soft = self.soft  # noqa: F841  (captured by subclasses via self)
+
+        def step(state: BodyState):
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            return euler_update(state, acc, dt), acc
+
+        return jax.jit(step, donate_argnums=0)
+
+    def _make_scan_run(self, n_iterations: int):
+        dt = self._dt
+
+        def step1(state, _):
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            return euler_update(state, acc, dt), None
+
+        @partial(jax.jit, donate_argnums=0)
+        def run(state):
+            final, _ = jax.lax.scan(step1, state, length=n_iterations)
+            return final
+
+        return run
+
+    def run(self, n_iterations: int) -> None:
+        if n_iterations <= 0:
+            return
+        fn = self._run_cache.get(n_iterations)
+        if fn is None:
+            fn = self._run_cache[n_iterations] = self._make_scan_run(n_iterations)
+        self._state = fn(self._state)
+        self._last_acc = None  # not materialized on the scan fast path
+        self._iteration += n_iterations

@@ -1,0 +1,314 @@
+"""Concrete engines: the TPU-native ``--im`` registry entries.
+
+Mapping from the reference registry (ref: src/murb/main.cpp:205-270):
+
+  cpu+naive           -> NaiveEngine      (jnp broadcast oracle)
+  cpu+nop             -> NopEngine        (harness-overhead baseline)
+  cpu+optim/simd/omp  -> ChunkedEngine    (one jitted XLA path: the VPU *is*
+                                           the SIMD unit, XLA the OpenMP)
+  gpu+tile[+full...]  -> PallasTileEngine (murb_tpu.ops.tile_pallas)
+  gpu+tile+full200k   -> MXUEngine        (murb_tpu.ops.mxu)
+  gpu+tracking        -> TrackingEngine
+  gpu+leapfrog        -> LeapfrogEngine
+  mpi / hetero        -> murb_tpu.parallel engines
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from murb_tpu.core.history import SimulationHistory
+from murb_tpu.core.integrators import (
+    LeapfrogAux,
+    euler_update,
+    kdk_step,
+    leapfrog_first,
+    leapfrog_last,
+    leapfrog_middle,
+    leapfrog_positions,
+)
+from murb_tpu.core import metrics as metrics_mod
+from murb_tpu.models.base import EulerAccelEngine, SimulationEngine
+from murb_tpu.ops.common import Accel
+from murb_tpu.ops.naive import acc_chunked, acc_naive
+
+
+class NopEngine(SimulationEngine):
+    """Empty engine -- measures harness overhead
+    (ref: src/murb/implem/SimulationNBodyNop.cpp:34-36)."""
+
+    tag = "nop"
+
+    def _make_step(self):
+        zeros = jnp.zeros_like(self._state.qx)
+        acc = Accel(zeros, zeros, zeros)
+        return lambda state: (state, acc)
+
+    def run(self, n_iterations: int) -> None:
+        self._iteration += n_iterations
+
+
+class NaiveEngine(EulerAccelEngine):
+    """Full-broadcast oracle (ref: SimulationNBodyNaive.cpp:34-53).  The
+    correctness reference for every differential test."""
+
+    tag = "xla+naive"
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        return acc_naive(qx, qy, qz, gm, self.soft)
+
+
+class ChunkedEngine(EulerAccelEngine):
+    """i-chunked XLA sweep; subsumes the reference's cpu+optim / cpu+simd /
+    cpu+omp family (SIMD + threads are XLA's job on TPU, SURVEY.md section 7)."""
+
+    tag = "xla+chunked"
+
+    def __init__(self, bodies, soft=None, dt=None, *, chunk: int = 1024, **kw):
+        kwargs = {}
+        if soft is not None:
+            kwargs["soft"] = soft
+        if dt is not None:
+            kwargs["dt"] = dt
+        super().__init__(bodies, **kwargs, **kw)
+        self.chunk = min(chunk, bodies.npad)
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        return acc_chunked(qx, qy, qz, gm, self.soft, chunk=self.chunk)
+
+
+class PallasTileEngine(EulerAccelEngine):
+    """Pallas VMEM tile kernel engine -- the analogue of gpu+tile /
+    gpu+tile+full (state is always device-resident here, so the "+full"
+    distinction of the reference collapses)."""
+
+    tag = "tpu+tile"
+
+    def __init__(self, bodies, soft=None, dt=None, *, block_i: int = 0,
+                 block_j: int = 0, **kw):
+        kwargs = {}
+        if soft is not None:
+            kwargs["soft"] = soft
+        if dt is not None:
+            kwargs["dt"] = dt
+        super().__init__(bodies, **kwargs, **kw)
+        self.block_i = block_i
+        self.block_j = block_j
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        from murb_tpu.ops.tile_pallas import acc_tile
+
+        return acc_tile(qx, qy, qz, gm, self.soft,
+                        block_i=self.block_i, block_j=self.block_j)
+
+
+class MXUEngine(PallasTileEngine):
+    """MXU (systolic-array) all-pairs engine -- the large-N flagship, the
+    analogue of gpu+tile+full200k."""
+
+    tag = "tpu+mxu"
+
+    def __init__(self, bodies, soft=None, dt=None, *, precision: str = "high",
+                 **kw):
+        super().__init__(bodies, soft, dt, **kw)
+        self.precision = precision
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        from murb_tpu.ops.mxu import acc_mxu
+
+        return acc_mxu(qx, qy, qz, gm, self.soft,
+                       block_i=self.block_i, block_j=self.block_j,
+                       precision=self.precision)
+
+
+class KDKEngine(SimulationEngine):
+    """Textbook kick-drift-kick symplectic integrator over any kernel."""
+
+    tag = "tpu+kdk"
+
+    def __init__(self, bodies, acc_fn=None, **kw):
+        super().__init__(bodies, **kw)
+        self._acc = acc_fn  # (qx, qy, qz, gm, soft) -> Accel
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        fn = self._acc or acc_chunked
+        return fn(qx, qy, qz, gm, self.soft)
+
+    def _make_step(self):
+        dt = self._dt
+
+        def step(state):
+            gm = self._gm(state)
+            acc_at = lambda x, y, z: self._acc_fn(x, y, z, gm)
+            new_state = kdk_step(state, acc_at, dt)
+            return new_state, self._acc_fn(
+                new_state.qx, new_state.qy, new_state.qz, gm
+            )
+
+        # The test accessor re-evaluates acc at the new positions; keep the
+        # fast path separate.
+        def fast(state):
+            gm = self._gm(state)
+            acc_at = lambda x, y, z: self._acc_fn(x, y, z, gm)
+            return kdk_step(state, acc_at, dt), None
+
+        self._fast = jax.jit(fast, donate_argnums=0)
+        return jax.jit(step, donate_argnums=0)
+
+    def compute_one_iteration(self):
+        if self._step is None:
+            self._step = self._make_step()
+        self._state, _ = self._fast(self._state)
+        self._iteration += 1
+
+
+class LeapfrogEngine(SimulationEngine):
+    """Phase-split leapfrog: one force evaluation per iteration, dispatching
+    first/middle/last by the host-side iteration counter exactly like the
+    reference dispatch (ref: src/common/core/CUDABodies.cu:327-351) -- zero
+    traced control flow.  Requires the total iteration count up front
+    (ref ctor: SimulationNBodyCUDALeapfrog.hpp:27-30; the reference CLI passes
+    its arguments in the wrong order -- fixed here, see SURVEY.md 2.10.1).
+    """
+
+    tag = "tpu+leapfrog"
+
+    def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
+                 acc_fn=None, **kw):
+        kwargs = {}
+        if soft is not None:
+            kwargs["soft"] = soft
+        if dt is not None:
+            kwargs["dt"] = dt
+        super().__init__(bodies, **kwargs, **kw)
+        self.num_iterations = int(num_iterations)
+        self._acc = acc_fn
+        self._aux = LeapfrogAux.zeros_like(bodies)
+        self._phase_steps = None
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        fn = self._acc or acc_chunked
+        return fn(qx, qy, qz, gm, self.soft)
+
+    def _build_phase_steps(self):
+        dt = self._dt
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def first(state, aux):
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            new_state, new_aux = leapfrog_first(state, aux, acc, dt)
+            return new_state, new_aux, acc
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def middle(state, aux):
+            acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz, self._gm(state))
+            new_state, new_aux = leapfrog_middle(state, aux, acc, dt)
+            return new_state, new_aux, acc
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def last(state, aux):
+            acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz, self._gm(state))
+            new_state, new_aux = leapfrog_last(state, aux)
+            return new_state, new_aux, acc
+
+        return first, middle, last
+
+    def compute_one_iteration(self):
+        if self._phase_steps is None:
+            self._phase_steps = self._build_phase_steps()
+        first, middle, last = self._phase_steps
+        if self._iteration == 0:
+            fn = first
+        elif self._iteration < self.num_iterations - 1:
+            fn = middle
+        else:
+            fn = last
+        self._state, self._aux, self._last_acc = fn(self._state, self._aux)
+        self._iteration += 1
+
+    def run(self, n_iterations: int) -> None:
+        for _ in range(n_iterations):
+            self.compute_one_iteration()
+
+
+class TrackingEngine(EulerAccelEngine):
+    """Euler engine that records (energy, |L|, density center) every iteration
+    (ref: SimulationNBodyCUDAPropertyTracking.cu:121-133).  Metrics are fused
+    into the jitted step; under ``run()`` they accumulate on device as scan ys
+    and transfer once (the reference does a D2H copy per iteration)."""
+
+    tag = "tpu+tracking"
+
+    def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
+                 history: SimulationHistory | None = None, acc_fn=None,
+                 metric_dtype=jnp.float32, **kw):
+        kwargs = {}
+        if soft is not None:
+            kwargs["soft"] = soft
+        if dt is not None:
+            kwargs["dt"] = dt
+        super().__init__(bodies, **kwargs, **kw)
+        self.history = history or SimulationHistory(num_iterations)
+        if self.history.num_iterations < num_iterations:
+            self.history.set_num_iterations(num_iterations)
+        self._acc = acc_fn
+        self._metric_dtype = metric_dtype
+        self._tracked_step = None
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        fn = self._acc or acc_chunked
+        return fn(qx, qy, qz, gm, self.soft)
+
+    def _metrics(self, state):
+        return metrics_mod.all_metrics(
+            state, self.soft, out_dtype=self._metric_dtype
+        )
+
+    def _make_tracked_step(self):
+        dt = self._dt
+
+        @partial(jax.jit, donate_argnums=0)
+        def step(state):
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            new_state = euler_update(state, acc, dt)
+            return new_state, acc, self._metrics(new_state)
+
+        return step
+
+    def compute_one_iteration(self):
+        if self._tracked_step is None:
+            self._tracked_step = self._make_tracked_step()
+        self._state, self._last_acc, (e, l, dc) = self._tracked_step(self._state)
+        i = self._iteration
+        if i < self.history.num_iterations:
+            self.history.set_energy_at(i, float(e))
+            self.history.set_ang_momentum_at(i, float(l))
+            self.history.set_density_center_at(i, jax.device_get(dc))
+        self._iteration += 1
+
+    def run(self, n_iterations: int) -> None:
+        if n_iterations <= 0:
+            return
+        dt = self._dt
+
+        def step1(state, _):
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            new_state = euler_update(state, acc, dt)
+            return new_state, self._metrics(new_state)
+
+        @partial(jax.jit, donate_argnums=0, static_argnums=1)
+        def run_scan(state, n):
+            return jax.lax.scan(step1, state, length=n)
+
+        self._state, (es, ls, dcs) = run_scan(self._state, n_iterations)
+        es, ls, dcs = jax.device_get((es, ls, dcs))
+        i0 = self._iteration
+        hi = self.history.num_iterations
+        for k in range(n_iterations):
+            if i0 + k < hi:
+                self.history.set_energy_at(i0 + k, float(es[k]))
+                self.history.set_ang_momentum_at(i0 + k, float(ls[k]))
+                self.history.set_density_center_at(i0 + k, dcs[k])
+        self._iteration += n_iterations

@@ -1,0 +1,250 @@
+"""Distributed engines: shard_map over a 1-D device mesh.
+
+TPU-native rebuild of the reference's MPI engine
+(ref: src/murb/implem/SimulationNBodyMultiNode.cpp) and heterogeneous split
+(ref: src/murb/implem/SimulationNBodyHetero.cu).  Three modes:
+
+  * ``allgather`` -- fidelity-first analogue of the MPI engine: each shard
+    owns a block of bodies; per step it ``all_gather``s the global
+    (positions, G*m) -- the analogue of the 4x MPI_Allgatherv of state
+    (ref: SimulationNBodyMultiNode.cpp:94-117) -- computes its own i-rows
+    against the replicated j-state, and integrates *only its own slice*
+    (owner-computes).  The reference's second round of 3x MPI_Allgatherv of
+    accelerations (ref: .cpp:120-148) and its redundant full-state
+    integration on every rank (ref: .cpp:236-241) disappear entirely.
+
+  * ``ring`` -- scalable mode: memory stays O(N/devices) per chip.  The j-block
+    (positions + G*m of one shard) rotates around the mesh with
+    ``lax.ppermute`` while each shard streams it through the rectangular tile
+    kernel -- the ring-attention analogue of the tile sweep (SURVEY.md
+    section 5b).
+
+  * ``uneven`` -- capability parity with the hetero engine's fraction knob
+    (env MURB_HETERO_GPU_FRACTION, ref: SimulationNBodyHetero.cu:16-18,
+    222-227): shard 0 computes a tunable fraction of the i-rows, the rest
+    share the remainder; state is replicated and partial accelerations are
+    ``psum``-merged.  On a homogeneous TPU mesh equal fractions are optimal;
+    the knob is preserved for API parity with heterogeneous deployments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from murb_tpu import G
+from murb_tpu.core.integrators import euler_update
+from murb_tpu.core.state import BodyState
+from murb_tpu.models.base import SimulationEngine
+from murb_tpu.ops.common import Accel
+from murb_tpu.ops.naive import acc_rect
+from murb_tpu.parallel.mesh import (
+    SHARD_AXIS,
+    make_mesh,
+    replicate_state,
+    shard_state,
+)
+
+_shard_map = jax.shard_map
+
+
+def _default_kernel() -> str:
+    """Pallas on TPU, jnp broadcast elsewhere (CPU test meshes)."""
+    return "tile" if jax.default_backend() == "tpu" else "jnp"
+
+
+def _rect_kernel(name: str, block_i: int, block_j: int):
+    if name == "jnp":
+        return acc_rect
+    if name == "tile":
+        from murb_tpu.ops.tile_pallas import acc_tile_rect
+
+        return partial(acc_tile_rect, block_i=block_i, block_j=block_j)
+    if name == "mxu":
+        from murb_tpu.ops.mxu import acc_mxu_rect
+
+        return partial(acc_mxu_rect, block_i=block_i, block_j=block_j)
+    raise ValueError(f"unknown rect kernel {name!r}")
+
+
+class ShardedEngine(SimulationEngine):
+    """Data-parallel engine over a 1-D mesh (modes: allgather / ring / uneven)."""
+
+    tag = "shard"
+
+    def __init__(self, bodies: BodyState, soft=None, dt=None, *,
+                 mode: str = "ring", shards: int = 0,
+                 gpu_fraction: float | None = None,
+                 kernel: str = "auto", block_i: int = 0, block_j: int = 0,
+                 **kw):
+        kwargs = {}
+        if soft is not None:
+            kwargs["soft"] = soft
+        if dt is not None:
+            kwargs["dt"] = dt
+        self.mesh = make_mesh(shards)
+        self.n_shards = self.mesh.devices.size
+        self.mode = mode
+        self.gpu_fraction = gpu_fraction
+        self.kernel_name = _default_kernel() if kernel == "auto" else kernel
+        self.block_i = block_i
+        self.block_j = block_j
+
+        # Every shard must hold a lane-aligned block: pad to 256 * shards.
+        bodies = bodies.repad(256 * self.n_shards)
+        super().__init__(bodies, **kwargs, **kw)
+        self.tag = f"shard+{mode}"
+
+        if mode == "uneven":
+            self._state = replicate_state(self._state, self.mesh)
+        else:
+            self._state = shard_state(self._state, self.mesh)
+
+    # ------------------------------------------------------------ step build
+    def _make_step(self):
+        if self.mode == "allgather":
+            local = self._allgather_local_step()
+        elif self.mode == "ring":
+            local = self._ring_local_step()
+        elif self.mode == "uneven":
+            local = self._uneven_local_step()
+        else:
+            raise ValueError(f"unknown shard mode {self.mode!r}")
+
+        spec = P() if self.mode == "uneven" else P(SHARD_AXIS)
+        fn = _shard_map(
+            local, mesh=self.mesh,
+            in_specs=spec, out_specs=(spec, spec),
+        )
+        return jax.jit(fn, donate_argnums=0)
+
+    def _local_rect(self):
+        kern = _rect_kernel(self.kernel_name, self.block_i, self.block_j)
+        soft = self.soft
+        return lambda qi3, qj3, gmj: kern(*qi3, *qj3, gmj, soft)
+
+    # --------------------------------------------------------- mode: gather
+    def _allgather_local_step(self):
+        rect = self._local_rect()
+        dt = self._dt
+
+        def step(state: BodyState):
+            gm_l = jnp.asarray(G, state.dtype) * state.m
+            gather = lambda a: jax.lax.all_gather(a, SHARD_AXIS, tiled=True)
+            qj = (gather(state.qx), gather(state.qy), gather(state.qz))
+            gmj = gather(gm_l)
+            acc = rect((state.qx, state.qy, state.qz), qj, gmj)
+            return euler_update(state, acc, dt), acc
+
+        return step
+
+    # ----------------------------------------------------------- mode: ring
+    def _ring_local_step(self):
+        rect = self._local_rect()
+        dt = self._dt
+        d = self.n_shards
+        perm = [(k, (k + 1) % d) for k in range(d)]
+
+        def step(state: BodyState):
+            gm_l = jnp.asarray(G, state.dtype) * state.m
+            qi = (state.qx, state.qy, state.qz)
+            zeros = jnp.zeros_like(state.qx)
+
+            def body(_, carry):
+                jx, jy, jz, jgm, ax, ay, az = carry
+                a = rect(qi, (jx, jy, jz), jgm)
+                rot = lambda x: jax.lax.ppermute(x, SHARD_AXIS, perm)
+                return (rot(jx), rot(jy), rot(jz), rot(jgm),
+                        ax + a.ax, ay + a.ay, az + a.az)
+
+            init = (state.qx, state.qy, state.qz, gm_l, zeros, zeros, zeros)
+            *_, ax, ay, az = jax.lax.fori_loop(0, d, body, init)
+            acc = Accel(ax, ay, az)
+            return euler_update(state, acc, dt), acc
+
+        return step
+
+    # --------------------------------------------------------- mode: uneven
+    def _uneven_local_step(self):
+        rect = self._local_rect()
+        dt = self._dt
+        d = self.n_shards
+        npad = self._state.npad
+
+        # Row ownership fractions: shard 0 gets ``gpu_fraction`` (default
+        # 0.60 like MURB_HETERO_GPU_FRACTION), the rest share the remainder.
+        f = 1.0 if d == 1 else (
+            0.60 if self.gpu_fraction is None else float(self.gpu_fraction)
+        )
+        counts = [int(round(f * npad))] if d > 1 else [npad]
+        if d > 1:
+            rest = npad - counts[0]
+            for k in range(d - 1):
+                counts.append(rest // (d - 1) + (1 if k < rest % (d - 1) else 0))
+        starts = [sum(counts[:k]) for k in range(d)]
+        # All shards compute the same (max) row-count shape; unowned rows are
+        # masked.  Pad to a lane multiple for the rect kernels.
+        cmax = min(npad, ((max(counts) + 255) // 256) * 256)
+        starts_arr = jnp.asarray(starts, jnp.int32)
+        counts_arr = jnp.asarray(counts, jnp.int32)
+
+        def step(state: BodyState):
+            gm = jnp.asarray(G, state.dtype) * state.m
+            me = jax.lax.axis_index(SHARD_AXIS)
+            start = starts_arr[me]
+            count = counts_arr[me]
+            sstart = jnp.minimum(start, npad - cmax)
+
+            sl = lambda a: jax.lax.dynamic_slice(a, (sstart,), (cmax,))
+            qi = (sl(state.qx), sl(state.qy), sl(state.qz))
+            a = rect(qi, (state.qx, state.qy, state.qz), gm)
+
+            ridx = sstart + jnp.arange(cmax, dtype=jnp.int32)
+            mask = ((ridx >= start) & (ridx < start + count)).astype(state.dtype)
+            upd = lambda p: jax.lax.dynamic_update_slice(
+                jnp.zeros(npad, state.dtype), p * mask, (sstart,)
+            )
+            acc = Accel(
+                jax.lax.psum(upd(a.ax), SHARD_AXIS),
+                jax.lax.psum(upd(a.ay), SHARD_AXIS),
+                jax.lax.psum(upd(a.az), SHARD_AXIS),
+            )
+            return euler_update(state, acc, dt), acc
+
+        return step
+
+    # ------------------------------------------------------------- run fast
+    def run(self, n_iterations: int) -> None:
+        if n_iterations <= 0:
+            return
+        key = ("scan", n_iterations)
+        fn = self._run_cache.get(key)
+        if fn is None:
+            # Unjitted shard_map'd step for the scan body.
+            if self.mode == "allgather":
+                local = self._allgather_local_step()
+            elif self.mode == "ring":
+                local = self._ring_local_step()
+            else:
+                local = self._uneven_local_step()
+            spec = P() if self.mode == "uneven" else P(SHARD_AXIS)
+            inner_step = _shard_map(
+                local, mesh=self.mesh, in_specs=spec, out_specs=(spec, spec)
+            )
+
+            @partial(jax.jit, donate_argnums=0)
+            def run_scan(state):
+                def body(s, _):
+                    s2, _acc = inner_step(s)
+                    return s2, None
+
+                final, _ = jax.lax.scan(body, state, length=n_iterations)
+                return final
+
+            fn = self._run_cache[key] = run_scan
+        self._state = fn(self._state)
+        self._last_acc = None
+        self._iteration += n_iterations

@@ -1,0 +1,121 @@
+"""murb-compatible command-line parsing.
+
+Preserves the reference's flag surface and semantics (ref:
+src/murb/main.cpp:61-165 / src/common/utils/ArgumentsReader.cpp): required
+``-n``/``-i``; facultative ``-v -h --help --dt --ngs --ww --wh --nv --nvc
+--im --soft -s --gf``; plus TPU-native extensions (seed, precision, shards,
+scan mode, CSV export) that have no reference counterpart.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+@dataclasses.dataclass
+class MurbConfig:
+    n_bodies: int
+    n_iterations: int
+    verbose: bool = False
+    dt: float = 3600.0                      # ref: main.cpp:45
+    softening: float = 2.0e8                # ref: main.cpp:47
+    gs_enable: bool = True
+    visu_enable: bool = True
+    visu_color: bool = True
+    win_width: int = 1024
+    win_height: int = 768
+    impl_tag: str = "cpu+naive"             # ref: main.cpp:40
+    scheme: str = "galaxy"                  # ref: main.cpp:51
+    show_gflops: bool = False
+    # --- TPU-native extensions ---
+    seed: int = 123
+    precision: str = "fp32"
+    scheme_file: str | None = None
+    shards: int = 0                          # 0 = all local devices (shard engines)
+    scan: bool = False                       # run whole simulation as one lax.scan
+    csv: str | None = None                   # metrics CSV path (tracking engines)
+    visu_out: str | None = None              # offline frame render directory
+    chunk: int = 1024
+    block_i: int = 0                         # 0 = kernel picks
+    block_j: int = 0
+    gpu_fraction: float | None = None        # hetero-style uneven shard knob
+    list_impls: bool = False
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="murb-tpu",
+        description="TPU-native n-body simulation (murb-compatible CLI)",
+        add_help=False,
+    )
+    req = p.add_argument_group("required arguments")
+    req.add_argument("-n", dest="n_bodies", type=int, default=None,
+                     help="the number of generated bodies.")
+    req.add_argument("-i", dest="n_iterations", type=int, default=None,
+                     help="the number of iterations to compute.")
+
+    fac = p.add_argument_group("facultative arguments")
+    fac.add_argument("-v", dest="verbose", action="store_true",
+                     help="enable verbose mode.")
+    fac.add_argument("-h", "--help", action="help",
+                     help="display this help.")
+    fac.add_argument("--dt", dest="dt", type=float, default=3600.0,
+                     help="select a fixed time step in second (default is 3600 sec).")
+    fac.add_argument("--ngs", dest="gs_enable", action="store_false",
+                     help="disable geometry-style rendering for visu.")
+    fac.add_argument("--ww", dest="win_width", type=int, default=1024,
+                     help="the width of the window in pixel (default is 1024).")
+    fac.add_argument("--wh", dest="win_height", type=int, default=768,
+                     help="the height of the window in pixel (default is 768).")
+    fac.add_argument("--nv", dest="visu_enable", action="store_false",
+                     help="no visualization (disable visu).")
+    fac.add_argument("--nvc", dest="visu_color", action="store_false",
+                     help="visualization without colors.")
+    fac.add_argument("--im", dest="impl_tag", type=str, default="cpu+naive",
+                     help="code implementation tag (see --list-impls).")
+    fac.add_argument("--soft", dest="softening", type=float, default=2.0e8,
+                     help="softening factor.")
+    fac.add_argument("-s", dest="scheme", type=str, default="galaxy",
+                     help='bodies scheme ("galaxy", "random" or a two-galaxy .tab file scheme).')
+    fac.add_argument("--gf", dest="show_gflops", action="store_true",
+                     help="display the number of GFlop/s.")
+
+    ext = p.add_argument_group("TPU-native extensions")
+    ext.add_argument("--seed", type=int, default=123,
+                     help="RNG seed for the initial conditions (default 123).")
+    ext.add_argument("--precision", choices=("fp32", "fp64", "bf16"), default="fp32",
+                     help="state/compute precision (default fp32; fp64 is CPU-oriented).")
+    ext.add_argument("--scheme-file", dest="scheme_file", type=str, default=None,
+                     help="path to the two-galaxy .tab file for the merger scheme.")
+    ext.add_argument("--shards", type=int, default=0,
+                     help="device count for shard engines (0 = all local devices).")
+    ext.add_argument("--scan", action="store_true",
+                     help="run the whole simulation as one lax.scan dispatch "
+                          "(maximum throughput; per-iteration verbose lines disabled).")
+    ext.add_argument("--csv", type=str, default=None,
+                     help="write tracked metrics to this CSV (tracking engines).")
+    ext.add_argument("--visu-out", dest="visu_out", type=str, default=None,
+                     help="render offline frames (PNG) into this directory.")
+    ext.add_argument("--chunk", type=int, default=1024,
+                     help="i-chunk size for chunked XLA engines.")
+    ext.add_argument("--block-i", dest="block_i", type=int, default=0,
+                     help="Pallas kernel i-block size (0 = auto).")
+    ext.add_argument("--block-j", dest="block_j", type=int, default=0,
+                     help="Pallas kernel j-block size (0 = auto).")
+    ext.add_argument("--gpu-fraction", dest="gpu_fraction", type=float, default=None,
+                     help="uneven shard fraction for the hetero-style engine "
+                          "(reference env MURB_HETERO_GPU_FRACTION).")
+    ext.add_argument("--list-impls", action="store_true", default=False,
+                     help="list available implementation tags and exit.")
+    return p
+
+
+def parse_args(argv=None) -> MurbConfig:
+    ns = build_parser().parse_args(argv)
+    if not ns.list_impls and (ns.n_bodies is None or ns.n_iterations is None):
+        build_parser().error("the arguments -n and -i are required")
+    if ns.softening == 0.0:
+        # ref: main.cpp:152-155
+        raise SystemExit("Softening factor can't be equal to 0... exiting.")
+    fields = {f.name for f in dataclasses.fields(MurbConfig)}
+    return MurbConfig(**{k: v for k, v in vars(ns).items() if k in fields})

@@ -1,0 +1,67 @@
+"""Test configuration: deterministic 8-device CPU mesh.
+
+The reference runs one Catch2 suite against whichever implementation the
+build enables (ref: scripts/run_tests.sh:27-52).  Here the suite runs on a
+forced 8-device CPU host platform so multi-chip sharding is exercised without
+TPU hardware (the reference has *no* distributed tests -- SURVEY.md section 4).
+Pallas kernels run in interpreter mode on CPU (auto-detected by the kernels);
+the real-TPU compile path is exercised by bench.py / __graft_entry__.py.
+
+Set MURB_TEST_TPU=1 to run the suite on the real TPU backend instead.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+# Must happen before any jax backend initialization.
+if os.environ.get("MURB_TEST_TPU") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("MURB_TEST_TPU") != "1":
+    # The axon TPU plugin force-selects itself via jax.config at import time;
+    # env JAX_PLATFORMS=cpu is not enough (see sitecustomize).  This is.
+    jax.config.update("jax_platforms", "cpu")
+    # The reference computes history metrics in double (ref: main.cpp:247-248);
+    # on the CPU test platform honor f64 metric dtype requests.
+    jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def assert_within_rel(actual, expected, eps, msg="", rms_floor=0.0):
+    """Catch2 WithinRel semantics: |a-b| <= eps * max(|a|, |b|)
+    (ref: src/test/implem/test_SimulationNBody.cpp:48-70).
+
+    ``rms_floor``: optional absolute tolerance of ``rms_floor * rms(expected)``
+    for elements whose value is cancellation-dominated (accelerations summing
+    to ~0 are fp32 reduction-order noise, not kernel error).
+    """
+    actual = np.asarray(actual, dtype=np.float64)
+    expected = np.asarray(expected, dtype=np.float64)
+    scale = np.maximum(np.abs(actual), np.abs(expected))
+    atol = rms_floor * float(np.sqrt(np.mean(expected**2))) if rms_floor else 0.0
+    bad = np.abs(actual - expected) > eps * scale + atol + 1e-300
+    if np.any(bad):
+        idx = np.argwhere(bad)[:5]
+        detail = "; ".join(
+            f"[{tuple(i)}] {actual[tuple(i)]!r} vs {expected[tuple(i)]!r}"
+            for i in idx
+        )
+        raise AssertionError(
+            f"{msg}: {bad.sum()}/{bad.size} elements beyond rel eps={eps}: {detail}"
+        )
+
+
+@pytest.fixture(scope="session")
+def n_devices():
+    return len(jax.devices())

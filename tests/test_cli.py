@@ -1,0 +1,84 @@
+"""CLI driver tests: murb-compatible flags, banner, summary, CSV export."""
+import numpy as np
+import pytest
+
+from murb_tpu.cli import main
+from murb_tpu.utils.args import parse_args
+from murb_tpu.utils.perf import Perf
+from murb_tpu.utils.strdate import str_date
+
+
+def test_parse_reference_flags():
+    cfg = parse_args(["-n", "3000", "-i", "50", "--im", "gpu+tile+full",
+                      "-s", "random", "--dt", "1800", "--soft", "1e8",
+                      "--nv", "--gf", "-v"])
+    assert cfg.n_bodies == 3000 and cfg.n_iterations == 50
+    assert cfg.impl_tag == "gpu+tile+full"
+    assert cfg.scheme == "random"
+    assert cfg.dt == 1800.0 and cfg.softening == 1e8
+    assert not cfg.visu_enable
+    assert cfg.show_gflops and cfg.verbose
+
+
+def test_zero_softening_rejected():
+    # ref: main.cpp:152-155
+    with pytest.raises(SystemExit):
+        parse_args(["-n", "10", "-i", "1", "--soft", "0"])
+
+
+def test_missing_required_args():
+    with pytest.raises(SystemExit):
+        parse_args(["-i", "5"])
+
+
+def test_strdate_format():
+    # ref: strDate, main.cpp:175-197
+    s = str_date(3600 * 24 * 2 + 3600 * 3 + 60 * 4 + 5.25)
+    assert s == "   2d    3h    4m 5.250s"
+
+
+def test_perf_gflops_convention():
+    p = Perf(elapsed_us=1.0e6)  # 1 second
+    # ref: Perf.cpp:28 -- 1024^3 divisor
+    assert abs(p.get_gflops(1024**3) - 1.0) < 1e-9
+    assert p.get_fps(10) == 10.0
+    assert p.get_elapsed_time() == 1000.0
+
+
+def test_cli_end_to_end_nop(capsys):
+    rc = main(["-n", "300", "-i", "2", "--im", "cpu+nop", "--nv", "-v"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "n-body simulation configuration:" in out
+    assert "-> nb. of bodies     (-n    ): 300" in out
+    assert "Simulation ended." in out
+    assert "Entire simulation took" in out
+
+
+def test_cli_end_to_end_chunked(capsys):
+    rc = main(["-n", "300", "-i", "2", "--im", "cpu+optim", "--nv", "--gf"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Gflop/s" in out
+
+
+def test_cli_tracking_csv(tmp_path, capsys):
+    csv = tmp_path / "m.csv"
+    rc = main(["-n", "300", "-i", "3", "--im", "gpu+tracking", "--nv",
+               "--csv", str(csv)])
+    assert rc == 0
+    lines = csv.read_text().strip().split("\n")
+    assert len(lines) == 4  # header + 3 iterations
+
+
+def test_cli_scan_mode(capsys):
+    rc = main(["-n", "300", "-i", "3", "--im", "cpu+optim", "--nv", "--scan"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Simulation ended." in out
+
+
+def test_cli_list_impls(capsys):
+    rc = main(["--list-impls"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "tpu+mxu" in out and "cpu+naive" in out

@@ -1,0 +1,86 @@
+"""Integrator tests: leapfrog phase semantics + conservation quality.
+
+The reference ships a leapfrog whose report concedes it misbehaves (Report.pdf
+section 5; CLI arg-order bug SURVEY.md 2.10.1).  These tests pin down what a
+*correct* phase-split leapfrog must do: match KDK leapfrog trajectories and
+conserve energy better than explicit Euler.
+"""
+import numpy as np
+import pytest
+
+from murb_tpu.core import metrics
+from murb_tpu.core.init import SCHEMES
+from murb_tpu.models import create_engine
+
+from conftest import assert_within_rel
+
+SOFT = 2.0e8
+DT = 3600.0
+
+
+def _energy(engine):
+    return float(metrics.total_energy(engine.bodies, SOFT, out_dtype=np.float64))
+
+
+def test_leapfrog_first_phase_keeps_state():
+    """Iteration 0 leaves the visible state at (x_0, v_0)
+    (ref: devLeapfrogFirst comment, CUDABodies.cu:223-243)."""
+    bodies = SCHEMES["random"](256, 2)
+    e = create_engine("tpu+leapfrog", bodies, soft=SOFT, dt=DT, num_iterations=4)
+    before = e.bodies.unpadded()
+    e.compute_one_iteration()
+    after = e.bodies.unpadded()
+    np.testing.assert_array_equal(before["qx"], after["qx"])
+    np.testing.assert_array_equal(before["vx"], after["vx"])
+
+
+def test_leapfrog_matches_kdk_trajectory():
+    """After k middle iterations the phase-split scheme equals KDK leapfrog at
+    the same time points (same method, different bookkeeping)."""
+    n, iters = 512, 6
+    bodies = SCHEMES["random"](n, 5)
+    # num_iterations = iters + 2 keeps every compared iteration in the
+    # middle phase (the final phase applies the v_last ~= v_{last-1/2}
+    # approximation, ref: CUDABodies.cu:302-324, tested separately).
+    lf = create_engine("tpu+leapfrog", bodies, soft=SOFT, dt=DT,
+                       num_iterations=iters + 2)
+    kdk = create_engine("tpu+kdk", bodies, soft=SOFT, dt=DT)
+
+    # leapfrog visible state after iteration k (k >= 1 middle phases) is
+    # (x_k, v_k); kdk after k steps is also (x_k, v_k).
+    lf.compute_one_iteration()           # first phase: still (x0, v0)
+    for k in range(1, iters + 1):
+        lf.compute_one_iteration()
+        kdk.compute_one_iteration()
+        a, b = lf.bodies.unpadded(), kdk.bodies.unpadded()
+        # middle-phase bookkeeping is bitwise-identical to KDK
+        np.testing.assert_array_equal(a["qx"], b["qx"], f"leapfrog vs kdk q iter {k}")
+        np.testing.assert_array_equal(a["vx"], b["vx"], f"leapfrog vs kdk v iter {k}")
+
+
+def test_leapfrog_conserves_energy_better_than_euler():
+    n, iters = 512, 50
+    bodies = SCHEMES["galaxy"](n, 9)
+    eu = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT * 50)
+    lf = create_engine("tpu+kdk", bodies, soft=SOFT, dt=DT * 50)
+    e0 = _energy(eu)
+    eu.run(iters)
+    lf.run(iters)
+    drift_euler = abs(_energy(eu) - e0)
+    drift_leap = abs(_energy(lf) - e0)
+    assert drift_leap <= drift_euler * 1.5, (drift_leap, drift_euler)
+
+
+def test_leapfrog_last_phase():
+    bodies = SCHEMES["random"](256, 4)
+    iters = 3
+    e = create_engine("tpu+leapfrog", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    for _ in range(iters):
+        e.compute_one_iteration()
+    # after the last phase the visible state took the buffered values;
+    # nothing NaN, positions moved
+    d = e.bodies.unpadded()
+    assert np.all(np.isfinite(d["qx"]))
+    before = bodies.unpadded()
+    assert np.any(d["qx"] != before["qx"])

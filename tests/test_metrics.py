@@ -1,0 +1,88 @@
+"""Conserved-quantity metric tests: analytic two-body checks + tracking engine."""
+import numpy as np
+import pytest
+
+from murb_tpu import G
+from murb_tpu.core import metrics
+from murb_tpu.core.init import SCHEMES
+from murb_tpu.core.state import BodyState
+from murb_tpu.models import create_engine
+
+SOFT = 2.0e8
+DT = 3600.0
+
+
+def _two_body_state():
+    m = np.array([1.0e24, 2.0e24])
+    r = np.zeros(2)
+    qx = np.array([-1.0e8, 1.0e8])
+    qy = np.zeros(2)
+    qz = np.zeros(2)
+    vx = np.zeros(2)
+    vy = np.array([10.0, -5.0])
+    vz = np.zeros(2)
+    return BodyState.from_arrays(m, r, qx, qy, qz, vx, vy, vz)
+
+
+def test_two_body_energy_analytic():
+    s = _two_body_state()
+    # PE = -G m1 m2 / sqrt(d^2 + eps^2); KE = 1/2 sum m v^2
+    d2 = (2.0e8) ** 2 + SOFT**2
+    pe = -G * 1.0e24 * 2.0e24 / np.sqrt(d2)
+    ke = 0.5 * (1.0e24 * 100.0 + 2.0e24 * 25.0)
+    got = float(metrics.total_energy(s, SOFT, out_dtype=np.float64))
+    np.testing.assert_allclose(got, pe + ke, rtol=1e-5)
+
+
+def test_two_body_angular_momentum_analytic():
+    s = _two_body_state()
+    # L_z = sum m (qx*vy - qy*vx)
+    lz = 1.0e24 * (-1.0e8 * 10.0) + 2.0e24 * (1.0e8 * -5.0)
+    got = float(metrics.angular_momentum(s, out_dtype=np.float64))
+    np.testing.assert_allclose(got, abs(lz), rtol=1e-5)
+
+
+def test_density_center():
+    s = _two_body_state()
+    # (m1*(-1e8) + m2*(1e8)) / (m1+m2) = 1e8/3
+    got = np.asarray(metrics.density_center(s, out_dtype=np.float64))
+    np.testing.assert_allclose(got[0], 1.0e8 / 3.0, rtol=1e-5)
+    np.testing.assert_allclose(got[1:], 0.0, atol=1e-3)
+
+
+def test_energy_chunked_consistency():
+    s = SCHEMES["galaxy"](700, 3)
+    e1 = float(metrics.total_energy(s, SOFT, chunk=256, out_dtype=np.float64))
+    e2 = float(metrics.total_energy(s, SOFT, chunk=768, out_dtype=np.float64))
+    np.testing.assert_allclose(e1, e2, rtol=1e-10)
+
+
+def test_tracking_engine_records_history():
+    iters = 4
+    bodies = SCHEMES["galaxy"](512, 7)
+    e = create_engine("gpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    for _ in range(iters):
+        e.compute_one_iteration()
+    assert e.history.num_iterations == iters
+    assert np.all(e.history.energies != 0.0)
+    assert np.all(np.isfinite(e.history.energies))
+    # energy drift over 4 small steps must be tiny
+    es = e.history.energies
+    assert abs(es[-1] - es[0]) < 1e-3 * abs(es[0])
+
+
+def test_tracking_scan_run_matches_stepwise():
+    iters = 5
+    bodies = SCHEMES["random"](512, 8)
+    a = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    b = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    for _ in range(iters):
+        a.compute_one_iteration()
+    b.run(iters)
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-5)
+    np.testing.assert_allclose(b.history.density_centers,
+                               a.history.density_centers, rtol=1e-4)

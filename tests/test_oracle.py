@@ -1,0 +1,100 @@
+"""Oracle kernel validation: the jnp naive kernel vs a pure-numpy double loop,
+then every other kernel vs the oracle on identical inputs."""
+import numpy as np
+import pytest
+
+from murb_tpu import G
+from murb_tpu.core.init import init_random
+from murb_tpu.ops.naive import acc_chunked, acc_naive, acc_rect
+
+from conftest import assert_within_rel
+
+SOFT = 2.0e8
+
+
+def _numpy_reference(d, soft):
+    """Scalar double-precision transcription of the naive inner loop
+    (ref: src/murb/implem/SimulationNBodyNaive.cpp:38-52)."""
+    n = len(d["m"])
+    q = np.stack([d["qx"], d["qy"], d["qz"]], 1).astype(np.float64)
+    m = d["m"].astype(np.float64)
+    acc = np.zeros((n, 3))
+    for i in range(n):
+        rij = q - q[i]
+        d2 = (rij**2).sum(1) + soft**2
+        ai = G * m / d2**1.5
+        acc[i] = (ai[:, None] * rij).sum(0)
+    return acc
+
+
+def test_naive_matches_numpy_double_loop():
+    s = init_random(256, 11)
+    d = s.unpadded()
+    ref = _numpy_reference(d, SOFT)
+    gm = np.float32(G) * s.m
+    acc = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    got = np.stack([np.asarray(acc.ax)[:256], np.asarray(acc.ay)[:256],
+                    np.asarray(acc.az)[:256]], 1)
+    assert_within_rel(got, ref, 5e-4, "naive vs numpy fp64")
+
+
+def test_ghosts_contribute_zero():
+    """Padding bodies must change nothing (ref padding semantics:
+    Bodies.cpp:200-213 + zero-mass trick in the tile kernels)."""
+    s = init_random(250, 3)          # npad 256, 6 ghosts
+    gm = np.float32(G) * s.m
+    acc_pad = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    # same bodies, no ghosts: slice to exactly n=250 is not lane aligned,
+    # so compare against a manual numpy sum over the first 250 sources only
+    d = s.unpadded()
+    ref = _numpy_reference(d, SOFT)
+    got = np.stack([np.asarray(acc_pad.ax)[:250], np.asarray(acc_pad.ay)[:250],
+                    np.asarray(acc_pad.az)[:250]], 1)
+    assert_within_rel(got, ref, 5e-4, "padded vs unpadded")
+
+
+@pytest.mark.parametrize("chunk", [128, 256])
+def test_chunked_matches_naive(chunk):
+    s = init_random(700, 4)          # npad 768
+    gm = np.float32(G) * s.m
+    a = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    b = acc_chunked(s.qx, s.qy, s.qz, gm, SOFT, chunk=chunk)
+    assert_within_rel(np.asarray(b.ax), np.asarray(a.ax), 1e-5, "chunked ax", rms_floor=1e-5)
+    assert_within_rel(np.asarray(b.az), np.asarray(a.az), 1e-5, "chunked az", rms_floor=1e-5)
+
+
+def test_rect_matches_naive_rows():
+    s = init_random(512, 8)
+    gm = np.float32(G) * s.m
+    full = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    part = acc_rect(s.qx[128:256], s.qy[128:256], s.qz[128:256],
+                    s.qx, s.qy, s.qz, gm, SOFT)
+    assert_within_rel(np.asarray(part.ax), np.asarray(full.ax)[128:256],
+                      1e-5, "rect rows", rms_floor=1e-5)
+
+
+def test_pallas_tile_matches_naive():
+    s = init_random(512, 21)
+    gm = np.float32(G) * s.m
+    from murb_tpu.ops.tile_pallas import acc_tile
+
+    a = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    b = acc_tile(s.qx, s.qy, s.qz, gm, SOFT)
+    assert_within_rel(np.asarray(b.ax), np.asarray(a.ax), 1e-5, "tile ax", rms_floor=1e-5)
+    assert_within_rel(np.asarray(b.ay), np.asarray(a.ay), 1e-5, "tile ay", rms_floor=1e-5)
+    assert_within_rel(np.asarray(b.az), np.asarray(a.az), 1e-5, "tile az", rms_floor=1e-5)
+
+
+@pytest.mark.parametrize("scheme_seed", [("galaxy", 5), ("random", 6)])
+def test_mxu_matches_naive(scheme_seed):
+    scheme, seed = scheme_seed
+    from murb_tpu.core.init import SCHEMES
+    from murb_tpu.ops.mxu import acc_mxu
+
+    s = SCHEMES[scheme](512, seed)
+    gm = np.float32(G) * s.m
+    a = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    b = acc_mxu(s.qx, s.qy, s.qz, gm, SOFT)
+    # norm-expansion path: slightly looser than the direct subtraction
+    assert_within_rel(np.asarray(b.ax), np.asarray(a.ax), 5e-4, "mxu ax", rms_floor=5e-4)
+    assert_within_rel(np.asarray(b.az), np.asarray(a.az), 5e-4, "mxu az", rms_floor=5e-4)
