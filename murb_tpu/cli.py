@@ -108,12 +108,17 @@ def main(argv=None) -> int:
     n_done = 0
 
     if cfg.scan:
-        # One lax.scan dispatch for the whole run (no per-iteration timing).
+        # One device dispatch for the whole run (no per-iteration timing).
+        # Warm up with a single iteration so the timed section excludes the
+        # XLA compile (the compiled program is length-agnostic).
+        engine.run(1)
+        engine.block_until_ready()
+        timed = max(cfg.n_iterations - 1, 0)
         perf_total.start()
-        engine.run(cfg.n_iterations)
+        engine.run(timed)
         engine.block_until_ready()
         perf_total.stop()
-        n_done = cfg.n_iterations
+        n_done = timed or 1
         physic_time = cfg.n_iterations * engine.dt
     else:
         for i_ite in range(1, cfg.n_iterations + 1):

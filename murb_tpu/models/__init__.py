@@ -73,14 +73,27 @@ def _build_registry():
     register(
         "tpu+tile",
         lambda b, **kw: E.PallasTileEngine(b, **_filter(kw, "block_i", "block_j")),
-        aliases=("gpu+tile", "gpu+tile+full", "tpu+tile+full"),
+        aliases=("gpu+tile",),
+    )
+    register(
+        "tpu+hybrid",
+        lambda b, **kw: E.HybridEngine(
+            b, **_filter(kw, "block_i", "block_j", "passes")
+        ),
+        aliases=("gpu+tile+full", "gpu+tile+full200k",
+                 "tpu+tile+full", "tpu+tile+full200k"),
+    )
+    register(
+        "tpu+hybrid+fast",
+        lambda b, **kw: E.HybridEngine(
+            b, passes=1, **_filter(kw, "block_i", "block_j")
+        ),
     )
     register(
         "tpu+mxu",
         lambda b, **kw: E.MXUEngine(
             b, **_filter(kw, "block_i", "block_j", "precision")
         ),
-        aliases=("gpu+tile+full200k", "tpu+tile+full200k"),
     )
     register(
         "tpu+tracking",

@@ -127,26 +127,28 @@ class EulerAccelEngine(SimulationEngine):
 
         return jax.jit(step, donate_argnums=0)
 
-    def _make_scan_run(self, n_iterations: int):
+    def _make_loop_run(self):
+        """One compiled program for ANY iteration count: a fori_loop with a
+        runtime bound (lowered to while_loop), state device-resident
+        throughout -- the whole simulation is a single device dispatch."""
         dt = self._dt
 
-        def step1(state, _):
+        def step1(_, state):
             acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
-            return euler_update(state, acc, dt), None
+            return euler_update(state, acc, dt)
 
         @partial(jax.jit, donate_argnums=0)
-        def run(state):
-            final, _ = jax.lax.scan(step1, state, length=n_iterations)
-            return final
+        def run(state, n):
+            return jax.lax.fori_loop(0, n, step1, state)
 
         return run
 
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-        fn = self._run_cache.get(n_iterations)
+        fn = self._run_cache.get("loop")
         if fn is None:
-            fn = self._run_cache[n_iterations] = self._make_scan_run(n_iterations)
-        self._state = fn(self._state)
-        self._last_acc = None  # not materialized on the scan fast path
+            fn = self._run_cache["loop"] = self._make_loop_run()
+        self._state = fn(self._state, n_iterations)
+        self._last_acc = None  # not materialized on the loop fast path
         self._iteration += n_iterations

@@ -104,6 +104,28 @@ class PallasTileEngine(EulerAccelEngine):
                         block_i=self.block_i, block_j=self.block_j)
 
 
+class HybridEngine(PallasTileEngine):
+    """VPU+MXU hybrid kernel engine -- the single-chip flagship, replacing
+    the reference's gpu+tile+full / gpu+tile+full200k CUDA kernels.
+    ``passes=2`` selects the high-accuracy two-pass bf16 reduction."""
+
+    tag = "tpu+hybrid"
+
+    def __init__(self, bodies, soft=None, dt=None, *, passes: int = 2, **kw):
+        # Wide blocks want divisor-rich padding; ghosts are inert.
+        if bodies.npad >= 8192:
+            bodies = bodies.repad(2048)
+        super().__init__(bodies, soft, dt, **kw)
+        self.passes = passes
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        from murb_tpu.ops.hybrid import acc_hybrid
+
+        return acc_hybrid(qx, qy, qz, gm, self.soft,
+                          block_i=self.block_i, block_j=self.block_j,
+                          passes=self.passes)
+
+
 class MXUEngine(PallasTileEngine):
     """MXU (systolic-array) all-pairs engine -- the large-N flagship, the
     analogue of gpu+tile+full200k."""

@@ -52,8 +52,8 @@ _shard_map = jax.shard_map
 
 
 def _default_kernel() -> str:
-    """Pallas on TPU, jnp broadcast elsewhere (CPU test meshes)."""
-    return "tile" if jax.default_backend() == "tpu" else "jnp"
+    """Pallas hybrid on TPU, jnp broadcast elsewhere (CPU test meshes)."""
+    return "hybrid" if jax.default_backend() == "tpu" else "jnp"
 
 
 def _rect_kernel(name: str, block_i: int, block_j: int):
@@ -63,6 +63,10 @@ def _rect_kernel(name: str, block_i: int, block_j: int):
         from murb_tpu.ops.tile_pallas import acc_tile_rect
 
         return partial(acc_tile_rect, block_i=block_i, block_j=block_j)
+    if name == "hybrid":
+        from murb_tpu.ops.hybrid import acc_hybrid_rect
+
+        return partial(acc_hybrid_rect, block_i=block_i, block_j=block_j)
     if name == "mxu":
         from murb_tpu.ops.mxu import acc_mxu_rect
 
@@ -220,10 +224,10 @@ class ShardedEngine(SimulationEngine):
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-        key = ("scan", n_iterations)
-        fn = self._run_cache.get(key)
+        fn = self._run_cache.get("loop")
         if fn is None:
-            # Unjitted shard_map'd step for the scan body.
+            # Unjitted shard_map'd step for the loop body; one compiled
+            # program serves any iteration count (runtime fori bound).
             if self.mode == "allgather":
                 local = self._allgather_local_step()
             elif self.mode == "ring":
@@ -236,15 +240,14 @@ class ShardedEngine(SimulationEngine):
             )
 
             @partial(jax.jit, donate_argnums=0)
-            def run_scan(state):
-                def body(s, _):
+            def run_loop(state, n):
+                def body(_, s):
                     s2, _acc = inner_step(s)
-                    return s2, None
+                    return s2
 
-                final, _ = jax.lax.scan(body, state, length=n_iterations)
-                return final
+                return jax.lax.fori_loop(0, n, body, state)
 
-            fn = self._run_cache[key] = run_scan
-        self._state = fn(self._state)
+            fn = self._run_cache["loop"] = run_loop
+        self._state = fn(self._state, n_iterations)
         self._last_acc = None
         self._iteration += n_iterations

@@ -60,6 +60,16 @@ def test_mxu_correctness(n, n_ite, scheme, eps):
     run_differential("tpu+mxu", n, n_ite, scheme, eps)
 
 
+@pytest.mark.parametrize("n,n_ite,scheme,eps", CASES)
+def test_hybrid_correctness(n, n_ite, scheme, eps):
+    """Flagship kernel under the reference aliases (single-pass bf16 W)."""
+    run_differential("gpu+tile+full", n, n_ite, scheme, eps)
+
+
+def test_hybrid_two_pass_correctness():
+    run_differential("tpu+hybrid", 2049, 3, "random", 1e-3, passes=2)
+
+
 def test_nop_engine_is_inert():
     bodies = SCHEMES["random"](256, 1)
     e = create_engine("cpu+nop", bodies, soft=SOFT, dt=DT)
