@@ -45,20 +45,33 @@ def build_engine(cfg: MurbConfig):
 
     from murb_tpu.models import validate_tag
 
-    validate_tag(cfg.impl_tag)  # fail fast, before any device work
+    canonical = validate_tag(cfg.impl_tag)  # fail fast, before device work
     if cfg.precision == "fp64":
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(_DTYPES[cfg.precision])
-    bodies = make_bodies(
-        cfg.n_bodies, cfg.scheme, cfg.seed,
-        dtype=dtype, scheme_file=cfg.scheme_file,
-    )
+    if cfg.load_state:
+        from murb_tpu.core.checkpoint import load_state
+
+        bodies, meta = load_state(cfg.load_state)
+        print(f"Resumed state from {cfg.load_state} "
+              f"(iteration {meta['iteration']}, n={bodies.n})")
+    else:
+        bodies = make_bodies(
+            cfg.n_bodies, cfg.scheme, cfg.seed,
+            dtype=dtype, scheme_file=cfg.scheme_file,
+        )
+    extra = {}
+    if canonical == "tpu+tracking+multi":
+        from murb_tpu.core.init import milkyway_andromeda_masks
+
+        extra["masks"] = milkyway_andromeda_masks(bodies.npad, bodies.n)
     return create_engine(
         cfg.impl_tag, bodies,
         soft=cfg.softening, dt=cfg.dt,
         num_iterations=cfg.n_iterations,
         chunk=cfg.chunk, block_i=cfg.block_i, block_j=cfg.block_j,
         shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
+        **extra,
     )
 
 
@@ -107,6 +120,24 @@ def main(argv=None) -> int:
     physic_time = 0.0
     n_done = 0
 
+    profile_ctx = None
+    if cfg.profile:
+        jax.profiler.start_trace(cfg.profile)
+        profile_ctx = cfg.profile
+
+    traj = None
+    if cfg.dump_traj:
+        from murb_tpu.io import TrajectoryWriter
+
+        traj = TrajectoryWriter(cfg.dump_traj, engine.bodies.n)
+
+    def record(i_ite: int, force: bool = False) -> None:
+        if traj is None:
+            return
+        if force or i_ite % max(cfg.dump_every, 1) == 0:
+            d = engine.bodies.unpadded()
+            traj.append(i_ite, d["qx"], d["qy"], d["qz"])
+
     if cfg.scan:
         # One device dispatch for the whole run (no per-iteration timing).
         # Warm up with a single iteration so the timed section excludes the
@@ -115,7 +146,19 @@ def main(argv=None) -> int:
         engine.block_until_ready()
         timed = max(cfg.n_iterations - 1, 0)
         perf_total.start()
-        engine.run(timed)
+        if traj is None:
+            engine.run(timed)
+        else:
+            # advance in segments that land exactly on the record points
+            every = max(cfg.dump_every, 1)
+            current = 1
+            for target in range(every, cfg.n_iterations + 1, every):
+                if target > current:
+                    engine.run(target - current)
+                    current = target
+                record(target, force=True)
+            if current < cfg.n_iterations:
+                engine.run(cfg.n_iterations - current)
         engine.block_until_ready()
         perf_total.stop()
         n_done = timed or 1
@@ -134,6 +177,7 @@ def main(argv=None) -> int:
 
             physic_time += engine.dt
             n_done = i_ite
+            record(i_ite)
 
             if cfg.verbose:
                 gflops = ""
@@ -150,6 +194,15 @@ def main(argv=None) -> int:
         if cfg.verbose:
             print()
 
+    if profile_ctx:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {profile_ctx}")
+
+    if traj is not None:
+        dropped = traj.close()
+        msg = f" ({dropped} frames dropped)" if dropped else ""
+        print(f"Trajectory written to {cfg.dump_traj}{msg}")
+
     print("Simulation ended.")
     print()
     gflops = ""
@@ -161,8 +214,17 @@ def main(argv=None) -> int:
     )
 
     if cfg.csv and hasattr(engine, "history"):
+        if hasattr(engine, "finalize_history"):
+            engine.finalize_history()
         engine.history.save_metrics_to_csv(cfg.csv)
         print(f"Metrics written to {cfg.csv}")
+
+    if cfg.save_state:
+        from murb_tpu.core.checkpoint import save_state
+
+        save_state(cfg.save_state, engine.bodies,
+                   iteration=n_done, dt=engine.dt, soft=engine.soft)
+        print(f"State checkpoint written to {cfg.save_state}")
 
     return 0
 

@@ -1,0 +1,65 @@
+"""State snapshot / restore.
+
+The reference has NO checkpointing -- its only persistence is the metrics CSV
+and the initial-condition file reader (SURVEY.md section 5, "Checkpoint /
+resume: None").  This module closes that gap: a versioned ``.npz`` snapshot
+of the full body state plus simulation metadata, so long runs can resume
+after preemption (standard practice for TPU-pod jobs).
+
+Format: numpy ``.npz`` with the 8 SoA arrays, ``n``/``padding``, iteration
+counter, dt, softening, and a format version.  ``.npz`` keeps the framework
+dependency-free; orbax integration can layer on top for multi-host async
+checkpointing.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from murb_tpu.core.state import BodyState
+
+FORMAT_VERSION = 1
+_ARRAYS = ("m", "r", "qx", "qy", "qz", "vx", "vy", "vz")
+
+
+def save_state(path: str, state: BodyState, *, iteration: int = 0,
+               dt: float = 3600.0, soft: float = 2.0e8,
+               extra: dict | None = None) -> None:
+    """Write a snapshot (one host->device sync; never call in the hot loop)."""
+    payload = {k: np.asarray(getattr(state, k)) for k in _ARRAYS}
+    payload.update(
+        __version__=np.int64(FORMAT_VERSION),
+        n=np.int64(state.n),
+        padding=np.int64(state.padding),
+        iteration=np.int64(iteration),
+        dt=np.float64(dt),
+        soft=np.float64(soft),
+    )
+    for k, v in (extra or {}).items():
+        payload[f"extra_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **payload)
+
+
+def load_state(path: str) -> tuple[BodyState, dict]:
+    """Read a snapshot -> (BodyState, metadata dict)."""
+    with np.load(path) as z:
+        version = int(z["__version__"])
+        if version > FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {path!r} has format version {version}; "
+                f"this build reads <= {FORMAT_VERSION}"
+            )
+        import jax.numpy as jnp
+
+        arrays = {k: jnp.asarray(z[k]) for k in _ARRAYS}
+        meta = {
+            "iteration": int(z["iteration"]),
+            "dt": float(z["dt"]),
+            "soft": float(z["soft"]),
+        }
+        for k in z.files:
+            if k.startswith("extra_"):
+                meta[k[len("extra_"):]] = z[k]
+        state = BodyState(
+            n=int(z["n"]), padding=int(z["padding"]), **arrays
+        )
+    return state, meta

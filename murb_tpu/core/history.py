@@ -71,6 +71,11 @@ class SimulationHistory:
     def save_metrics_to_csv(self, file_path: str) -> None:
         """Exact column schema of the reference exporter
         (ref: src/common/core/SimulationHistory.cpp:104-122)."""
+        from murb_tpu.native import write_history_csv
+
+        if write_history_csv(file_path, self.energies, self.ang_momentums,
+                             self.density_centers):
+            return
         with open(file_path, "w") as out:
             out.write(CSV_HEADER + "\n")
             for i in range(self.num_iterations):

@@ -155,9 +155,9 @@ def init_milkyway_andromeda(
             "(the reference hardcodes 'milkyway_andromeda.tab'; "
             "pass --scheme-file to point at the data file)"
         )
-    data = np.loadtxt(path, dtype=np.float64)
-    if data.ndim == 1:
-        data = data[None, :]
+    from murb_tpu.native import parse_tab
+
+    data = parse_tab(path, cols=7)  # native fast parser, numpy fallback
     if data.shape[1] != 7:
         raise ValueError(f"expected 7 columns (m qx qy qz vx vy vz), got {data.shape[1]}")
     n = data.shape[0]
@@ -180,6 +180,17 @@ def init_milkyway_andromeda(
         n=n, pad_multiple=pad_multiple, dtype=dtype,
         ghost_positions=gq, ghost_velocities=gv,
     )
+
+
+def milkyway_andromeda_masks(npad: int, n: int) -> list[np.ndarray]:
+    """Per-galaxy 0/1 masks over the padded body array for the two-galaxy
+    scheme (Milky Way ranges per ref: Bodies.cpp:125-128; everything else in
+    [0, n) is Andromeda; ghosts belong to neither)."""
+    idx = np.arange(npad)
+    valid = idx < n
+    mw = _is_milky_way(idx) & valid
+    andromeda = (~_is_milky_way(idx)) & valid
+    return [mw.astype(np.float32), andromeda.astype(np.float32)]
 
 
 SCHEMES = {

@@ -99,10 +99,21 @@ def density_center(state, out_dtype=jnp.float32):
     ])
 
 
-def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32):
+def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
+                mask=None):
     """(energy, angular momentum, density center) fused in one jitted call --
     the analogue of COMPUTE_ALL_METRIC (ref:
-    SimulationNBodyCUDAPropertyTracking.cu:4-7)."""
+    SimulationNBodyCUDAPropertyTracking.cu:4-7).
+
+    ``mask`` (npad,) of 0/1 restricts the metrics to a body subset (used by
+    the multi-galaxy tracking engine; masked bodies act like zero-mass
+    ghosts, so intra-subset PE is exact and cross-galaxy PE is excluded --
+    matching the reference's per-galaxy-then-sum aggregation model,
+    ref: SimulationHistory.cpp:153-184)."""
+    if mask is not None:
+        import dataclasses
+
+        state = dataclasses.replace(state, m=state.m * mask.astype(state.dtype))
     return (
         total_energy(state, soft, chunk=chunk, out_dtype=out_dtype),
         angular_momentum(state, out_dtype),

@@ -103,6 +103,13 @@ def _build_registry():
         aliases=("gpu+tracking",),
     )
     register(
+        "tpu+tracking+multi",
+        lambda b, **kw: E.MultiGalaxyTrackingEngine(
+            b, **_filter(kw, "num_iterations", "masks", "acc_fn", "metric_dtype")
+        ),
+        aliases=("gpu+tracking+multi",),
+    )
+    register(
         "tpu+leapfrog",
         lambda b, **kw: E.LeapfrogEngine(
             b, **_filter(kw, "num_iterations", "acc_fn")

@@ -185,6 +185,26 @@ class KDKEngine(SimulationEngine):
         self._state, _ = self._fast(self._state)
         self._iteration += 1
 
+    def run(self, n_iterations: int) -> None:
+        if n_iterations <= 0:
+            return
+        fn = self._run_cache.get("loop")
+        if fn is None:
+            dt = self._dt
+
+            def body(_, state):
+                gm = self._gm(state)
+                acc_at = lambda x, y, z: self._acc_fn(x, y, z, gm)
+                return kdk_step(state, acc_at, dt)
+
+            @partial(jax.jit, donate_argnums=0)
+            def run_loop(state, n):
+                return jax.lax.fori_loop(0, n, body, state)
+
+            fn = self._run_cache["loop"] = run_loop
+        self._state = fn(self._state, n_iterations)
+        self._iteration += n_iterations
+
 
 class LeapfrogEngine(SimulationEngine):
     """Phase-split leapfrog: one force evaluation per iteration, dispatching
@@ -251,8 +271,34 @@ class LeapfrogEngine(SimulationEngine):
         self._iteration += 1
 
     def run(self, n_iterations: int) -> None:
-        for _ in range(n_iterations):
-            self.compute_one_iteration()
+        """Fast path: the first/last phases run stepwise, the middle phases
+        collapse into one jitted fori_loop (one device dispatch, mirroring
+        the phase dispatch at ref: CUDABodies.cu:327-351)."""
+        end = self._iteration + n_iterations
+        if self._iteration == 0 and end > self._iteration:
+            self.compute_one_iteration()  # first phase
+        n_mid = min(end, self.num_iterations - 1) - self._iteration
+        if n_mid > 0:
+            fn = self._run_cache.get("midloop")
+            if fn is None:
+                dt = self._dt
+
+                def body(_, carry):
+                    state, aux = carry
+                    acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz,
+                                       self._gm(state))
+                    return leapfrog_middle(state, aux, acc, dt)
+
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def run_mid(state, aux, n):
+                    return jax.lax.fori_loop(0, n, body, (state, aux))
+
+                fn = self._run_cache["midloop"] = run_mid
+            self._state, self._aux = fn(self._state, self._aux, n_mid)
+            self._last_acc = None
+            self._iteration += n_mid
+        while self._iteration < end:
+            self.compute_one_iteration()  # last phase(s)
 
 
 class TrackingEngine(EulerAccelEngine):
@@ -334,3 +380,86 @@ class TrackingEngine(EulerAccelEngine):
                 self.history.set_ang_momentum_at(i0 + k, float(ls[k]))
                 self.history.set_density_center_at(i0 + k, dcs[k])
         self._iteration += n_iterations
+
+
+class MultiGalaxyTrackingEngine(TrackingEngine):
+    """Tracking engine with per-galaxy conserved-quantity series.
+
+    The reference aggregates per-galaxy histories by element-wise sum into a
+    global series (``MultiGalaxySimulationHistory::updateGlobalProperties``,
+    ref: SimulationHistory.cpp:153-184) but never computes per-galaxy metrics
+    on device; here each galaxy's (energy, |L|, density center) is a masked
+    metric fused into the same jitted step.
+
+    ``masks``: list of (npad,) 0/1 arrays, one per galaxy.
+    """
+
+    tag = "tpu+tracking+multi"
+
+    def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
+                 masks, **kw):
+        from murb_tpu.core.history import MultiGalaxySimulationHistory
+
+        history = MultiGalaxySimulationHistory(
+            num_iterations, num_galaxies=len(masks)
+        )
+        super().__init__(bodies, soft, dt, num_iterations=num_iterations,
+                         history=history, **kw)
+        import jax.numpy as jnp
+
+        self.masks = [jnp.asarray(m) for m in masks]
+        for m in self.masks:
+            assert m.shape[0] == self._state.npad, (m.shape, self._state.npad)
+
+    def _metrics(self, state):
+        per_gal = [
+            metrics_mod.all_metrics(state, self.soft,
+                                    out_dtype=self._metric_dtype, mask=m)
+            for m in self.masks
+        ]
+        es = jnp.stack([g[0] for g in per_gal])
+        ls = jnp.stack([g[1] for g in per_gal])
+        dcs = jnp.stack([g[2] for g in per_gal])
+        return es, ls, dcs
+
+    def _record(self, i, es, ls, dcs):
+        if i >= self.history.num_iterations:
+            return
+        for g, gal in enumerate(self.history.galaxies):
+            gal.set_energy_at(i, float(es[g]))
+            gal.set_ang_momentum_at(i, float(ls[g]))
+            gal.set_density_center_at(i, jax.device_get(dcs[g]))
+
+    def compute_one_iteration(self):
+        if self._tracked_step is None:
+            self._tracked_step = self._make_tracked_step()
+        self._state, self._last_acc, (es, ls, dcs) = self._tracked_step(
+            self._state
+        )
+        self._record(self._iteration, es, ls, dcs)
+        self._iteration += 1
+
+    def run(self, n_iterations: int) -> None:
+        if n_iterations <= 0:
+            return
+        dt = self._dt
+
+        def step1(state, _):
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            new_state = euler_update(state, acc, dt)
+            return new_state, self._metrics(new_state)
+
+        @partial(jax.jit, donate_argnums=0, static_argnums=1)
+        def run_scan(state, n):
+            return jax.lax.scan(step1, state, length=n)
+
+        self._state, (es, ls, dcs) = run_scan(self._state, n_iterations)
+        es, ls, dcs = jax.device_get((es, ls, dcs))
+        for k in range(n_iterations):
+            self._record(self._iteration + k, es[k], ls[k], dcs[k])
+        self._iteration += n_iterations
+
+    def finalize_history(self):
+        """Fold per-galaxy series into the global series (element-wise sum)."""
+        self.history.update_global_properties()
+        return self.history

@@ -40,6 +40,11 @@ class MurbConfig:
     block_j: int = 0
     gpu_fraction: float | None = None        # hetero-style uneven shard knob
     list_impls: bool = False
+    save_state: str | None = None            # checkpoint path written at end
+    load_state: str | None = None            # resume from checkpoint
+    profile: str | None = None               # jax.profiler trace directory
+    dump_traj: str | None = None             # binary trajectory output path
+    dump_every: int = 1                      # record every k-th iteration
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -107,6 +112,18 @@ def build_parser() -> argparse.ArgumentParser:
                           "(reference env MURB_HETERO_GPU_FRACTION).")
     ext.add_argument("--list-impls", action="store_true", default=False,
                      help="list available implementation tags and exit.")
+    ext.add_argument("--save-state", dest="save_state", type=str, default=None,
+                     help="write a state checkpoint (.npz) when the run ends.")
+    ext.add_argument("--load-state", dest="load_state", type=str, default=None,
+                     help="resume from a state checkpoint instead of -s scheme.")
+    ext.add_argument("--profile", type=str, default=None,
+                     help="capture a jax.profiler trace of the run into this "
+                          "directory (view with tensorboard/xprof).")
+    ext.add_argument("--dump-traj", dest="dump_traj", type=str, default=None,
+                     help="record positions to a binary MURBTRAJ file "
+                          "(non-blocking background writer).")
+    ext.add_argument("--dump-every", dest="dump_every", type=int, default=1,
+                     help="record every k-th iteration (default 1).")
     return p
 
 

@@ -1,0 +1,70 @@
+"""Checkpoint / resume tests (capability absent from the reference --
+SURVEY.md section 5)."""
+import numpy as np
+import pytest
+
+from murb_tpu.core.checkpoint import load_state, save_state
+from murb_tpu.core.init import SCHEMES
+from murb_tpu.models import create_engine
+
+from conftest import assert_within_rel
+
+SOFT = 2.0e8
+DT = 3600.0
+
+
+def test_roundtrip(tmp_path):
+    s = SCHEMES["galaxy"](300, 5)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, s, iteration=7, dt=1800.0, soft=1e8,
+               extra={"note": np.array([1, 2, 3])})
+    s2, meta = load_state(path)
+    assert s2.n == s.n and s2.padding == s.padding
+    np.testing.assert_array_equal(np.asarray(s2.qx), np.asarray(s.qx))
+    np.testing.assert_array_equal(np.asarray(s2.m), np.asarray(s.m))
+    assert meta["iteration"] == 7
+    assert meta["dt"] == 1800.0 and meta["soft"] == 1e8
+    np.testing.assert_array_equal(meta["note"], [1, 2, 3])
+
+
+def test_future_version_rejected(tmp_path):
+    s = SCHEMES["random"](100, 1)
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, s)
+    data = dict(np.load(path))
+    data["__version__"] = np.int64(99)
+    np.savez(path, **data)
+    with pytest.raises(ValueError, match="format version"):
+        load_state(path)
+
+
+def test_resume_continues_trajectory(tmp_path):
+    """run(4) == run(2) + checkpoint + resume + run(2)."""
+    bodies = SCHEMES["random"](512, 9)
+    a = create_engine("xla+chunked", bodies, soft=SOFT, dt=DT)
+    a.run(4)
+
+    b = create_engine("xla+chunked", bodies, soft=SOFT, dt=DT)
+    b.run(2)
+    path = str(tmp_path / "mid.npz")
+    save_state(path, b.bodies, iteration=2, dt=DT, soft=SOFT)
+    restored, meta = load_state(path)
+    c = create_engine("xla+chunked", restored, soft=meta["soft"], dt=meta["dt"])
+    c.run(2)
+
+    da, dc = a.bodies.unpadded(), c.bodies.unpadded()
+    for k in ("qx", "qy", "qz", "vx"):
+        assert_within_rel(dc[k], da[k], 1e-6, f"resume {k}")
+
+
+def test_cli_save_and_load(tmp_path, capsys):
+    from murb_tpu.cli import main
+
+    path = str(tmp_path / "cli.npz")
+    rc = main(["-n", "300", "-i", "2", "--im", "cpu+optim", "--nv",
+               "--save-state", path])
+    assert rc == 0
+    rc = main(["-n", "300", "-i", "1", "--im", "cpu+optim", "--nv",
+               "--load-state", path])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Resumed state from" in out

@@ -71,6 +71,22 @@ def test_leapfrog_conserves_energy_better_than_euler():
     assert drift_leap <= drift_euler * 1.5, (drift_leap, drift_euler)
 
 
+def test_leapfrog_run_matches_stepwise():
+    """run(n)'s fused middle-phase fori_loop lands on the stepwise trajectory."""
+    bodies = SCHEMES["random"](256, 11)
+    iters = 6
+    a = create_engine("tpu+leapfrog", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    b = create_engine("tpu+leapfrog", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    for _ in range(iters):
+        a.compute_one_iteration()
+    b.run(iters)
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    for c in ("qx", "vx"):
+        assert_within_rel(db[c], da[c], 1e-6, f"leapfrog run vs stepwise {c}")
+
+
 def test_leapfrog_last_phase():
     bodies = SCHEMES["random"](256, 4)
     iters = 3
