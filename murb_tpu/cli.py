@@ -99,6 +99,12 @@ def main(argv=None) -> int:
     cfg = parse_args(argv)
     enable_compile_cache()
 
+    from murb_tpu.parallel.mesh import maybe_init_distributed
+
+    if maybe_init_distributed():
+        print(f"distributed runtime up: process "
+              f"{jax.process_index()}/{jax.process_count()}")
+
     if cfg.list_impls:
         for tag, aliases in sorted(available_implementations().items()):
             alias_str = f"  (aliases: {', '.join(aliases)})" if aliases else ""
@@ -163,6 +169,8 @@ def main(argv=None) -> int:
         perf_total.stop()
         n_done = timed or 1
         physic_time = cfg.n_iterations * engine.dt
+        if cfg.check_finite:
+            engine.assert_finite()
     else:
         for i_ite in range(1, cfg.n_iterations + 1):
             if visu.window_should_close():
@@ -178,6 +186,8 @@ def main(argv=None) -> int:
             physic_time += engine.dt
             n_done = i_ite
             record(i_ite)
+            if cfg.check_finite:
+                engine.assert_finite()
 
             if cfg.verbose:
                 gflops = ""

@@ -100,6 +100,21 @@ class SimulationEngine:
     def block_until_ready(self) -> None:
         jax.block_until_ready(self._state)
 
+    def assert_finite(self) -> None:
+        """Fail-fast NaN/Inf guard -- the analogue of the reference's
+        per-frame CUDA_CHECK + cudaDeviceSynchronize abort
+        (ref: src/murb/main.cpp:356-368).  Syncs the device; call it from
+        the frame loop, not inside jit."""
+        bad = [
+            k for k in ("qx", "qy", "qz", "vx", "vy", "vz")
+            if not bool(jnp.all(jnp.isfinite(getattr(self._state, k))))
+        ]
+        if bad:
+            raise FloatingPointError(
+                f"non-finite state after iteration {self._iteration}: "
+                f"{', '.join(bad)} (dt too large or softening too small?)"
+            )
+
     # ------------------------------------------------------------- plumbing
     def _gm(self, state: BodyState) -> jax.Array:
         """Precomputed G*m_j, the reference's ``devGM`` trick

@@ -164,26 +164,9 @@ class KDKEngine(SimulationEngine):
         def step(state):
             gm = self._gm(state)
             acc_at = lambda x, y, z: self._acc_fn(x, y, z, gm)
-            new_state = kdk_step(state, acc_at, dt)
-            return new_state, self._acc_fn(
-                new_state.qx, new_state.qy, new_state.qz, gm
-            )
-
-        # The test accessor re-evaluates acc at the new positions; keep the
-        # fast path separate.
-        def fast(state):
-            gm = self._gm(state)
-            acc_at = lambda x, y, z: self._acc_fn(x, y, z, gm)
             return kdk_step(state, acc_at, dt), None
 
-        self._fast = jax.jit(fast, donate_argnums=0)
         return jax.jit(step, donate_argnums=0)
-
-    def compute_one_iteration(self):
-        if self._step is None:
-            self._step = self._make_step()
-        self._state, _ = self._fast(self._state)
-        self._iteration += 1
 
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:

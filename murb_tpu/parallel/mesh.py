@@ -32,3 +32,26 @@ def shard_state(state, mesh: Mesh, axis: str = SHARD_AXIS):
 def replicate_state(state, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host bring-up: initialize the JAX distributed runtime when the
+    environment names a coordinator.  The same mesh/collective code then
+    spans hosts, with ICI inside a slice and DCN between slices -- the
+    multi-node capability the reference reaches with mpirun/srun
+    (ref: README.md:93-95), minus the MPI plumbing.
+
+    Env: MURB_COORDINATOR (host:port), MURB_NUM_PROCESSES, MURB_PROCESS_ID.
+    Returns True if initialization happened.
+    """
+    import os
+
+    coord = os.environ.get("MURB_COORDINATOR")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ.get("MURB_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("MURB_PROCESS_ID", "0")),
+    )
+    return True

@@ -81,14 +81,27 @@ class ShardedEngine(SimulationEngine):
 
     def __init__(self, bodies: BodyState, soft=None, dt=None, *,
                  mode: str = "ring", shards: int = 0,
-                 gpu_fraction: float | None = None,
+                 gpu_fraction: float | None = None, min_n: int | None = None,
                  kernel: str = "auto", block_i: int = 0, block_j: int = 0,
                  **kw):
+        import os
+
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
         if dt is not None:
             kwargs["dt"] = dt
+        # Env-knob parity with the hetero engine (re-read per construction,
+        # ref: SimulationNBodyHetero.cu:16-26, 217-227): the weighted-split
+        # fraction and the small-N fallback threshold.
+        if gpu_fraction is None and os.environ.get("MURB_HETERO_GPU_FRACTION"):
+            gpu_fraction = float(os.environ["MURB_HETERO_GPU_FRACTION"])
+        if min_n is None:
+            min_n = int(os.environ.get("MURB_HETERO_MIN_N", "0") or 0)
+        if min_n and bodies.n < min_n:
+            # Degrade to a single shard, mirroring the hetero engine's
+            # pure-CPU fallback for small N (ref: .cu:229-257).
+            shards = 1
         self.mesh = make_mesh(shards)
         self.n_shards = self.mesh.devices.size
         self.mode = mode
