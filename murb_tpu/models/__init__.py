@@ -84,6 +84,13 @@ def _build_registry():
                  "tpu+tile+full", "tpu+tile+full200k"),
     )
     register(
+        "tpu+proxy",
+        lambda b, **kw: E.ProxyEngine(
+            b, **_filter(kw, "m", "tol", "max_m", "heavy_k", "box_margin")
+        ),
+        aliases=("fmm", "barnes-hut"),
+    )
+    register(
         "tpu+hybrid+fast",
         lambda b, **kw: E.HybridEngine(
             b, passes=1, **_filter(kw, "block_i", "block_j")

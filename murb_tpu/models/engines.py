@@ -145,6 +145,61 @@ class MXUEngine(PallasTileEngine):
                        precision=self.precision)
 
 
+class ProxyEngine(EulerAccelEngine):
+    """Chebyshev-proxy fast solver (O(N*m^3), see ops/proxy.py).
+
+    Picks the Chebyshev order from the initial bounding box and the target
+    force tolerance; when the box is too large relative to the softening for
+    ``m <= max_m`` (e.g. the random scheme), it falls back to the exact
+    hybrid kernel -- check ``engine.using_proxy``.
+    """
+
+    tag = "tpu+proxy"
+
+    def __init__(self, bodies, soft=None, dt=None, *, m: int = 0,
+                 tol: float = 1e-4, max_m: int = 24, heavy_k: int = 1,
+                 box_margin: float = 1.5, **kw):
+        super().__init__(bodies, soft, dt, **kw)
+        import numpy as np
+
+        from murb_tpu.ops.proxy import required_order
+
+        if m == 0:
+            d = self._state.unpadded()
+            sel = d["m"] > 0
+            if sel.any():
+                half = max(
+                    (d[k][sel].max() - d[k][sel].min()) / 2.0
+                    for k in ("qx", "qy", "qz")
+                )
+            else:
+                half = 1.0
+            # margin: the box grows as the system evolves
+            m = required_order(half * box_margin, self.soft, tol)
+            m = (m + 3) // 4 * 4  # round up: fewer distinct compiled shapes
+        self.m = int(m)
+        self.heavy_k = heavy_k
+        self.using_proxy = self.m <= max_m
+        if not self.using_proxy:
+            self._fallback = HybridEngine(bodies, soft, dt, **kw)
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        from murb_tpu.ops.proxy import acc_proxy
+
+        return acc_proxy(qx, qy, qz, gm, self.soft, m=self.m,
+                         heavy_k=self.heavy_k)
+
+    def _make_step(self):
+        if not self.using_proxy:
+            return self._fallback._make_step()
+        return super()._make_step()
+
+    def _make_loop_run(self):
+        if not self.using_proxy:
+            return self._fallback._make_loop_run()
+        return super()._make_loop_run()
+
+
 class KDKEngine(SimulationEngine):
     """Textbook kick-drift-kick symplectic integrator over any kernel."""
 

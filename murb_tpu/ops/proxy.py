@@ -1,0 +1,156 @@
+"""Chebyshev proxy (single-level black-box-FMM) accelerations: O(N*m^3).
+
+The Plummer-softened kernel K(d) = d / (|d|^2 + eps^2)^{3/2} has NO
+singularity: its smoothness scale is the softening eps = 2e8 m, which is
+comparable to the whole system size in the reference's workloads (galaxy
+bodies live within ~2e8 of the origin, ref: Bodies.cpp:186).  A function
+analytic on the domain with poles at imaginary distance eps admits a global
+Chebyshev interpolation whose error decays like rho^-m with
+rho = a + sqrt(1 + a^2), a = eps / box_halfwidth -- for the galaxy scheme
+(a ~ 1) m = 16 nodes per dimension already give ~1e-5 max relative force
+error (validated against the exact oracle in tests/test_proxy.py).
+
+So the whole O(N^2) interaction collapses to:
+
+  P2M:  W_uvw = sum_j gm_j Sx_j,u Sy_j,v Sz_j,w          (N x m^3 matmuls)
+  M2L:  F = all-pairs sweep over the m^3 proxy nodes      (reuses acc_rect)
+  L2P:  a_i = sum_uvw S_i,uvw F_uvw                       (N x m^3 matmuls)
+
+-- all MXU-shaped work, ~4*N*m^3 flops instead of 20*N^2.  At N = 200k,
+m = 16 that is ~250x fewer flops than the direct sum.
+
+Heavy-body correction: the galaxy's central mass (~4000x the median) would
+dominate the absolute interpolation error, and the force ON it is a
+cancellation of thousands of terms.  Bodies above ``heavy_factor`` times the
+mean mass (a static top-``heavy_k`` selection) are excluded from the proxy
+and summed exactly -- both as sources (rect N x k sweep) and as targets
+(k x N sweep).  This is the near-field/far-field split of a classical FMM,
+degenerate to a k-element near list.
+
+Validity: the required m grows as the box grows relative to eps
+(``required_order``).  Engines pick m from the initial box and fall back to
+the exact hybrid kernel when the tolerance cannot be met with m <= max_m
+(e.g. the random scheme's ~6.6e8 half-width box).
+
+This delivers what the reference left as a TODO ("Implementare barners hut",
+ref: performance_report.txt:58) in the form the hardware wants: no trees, no
+irregular traversal -- interpolation matrices and one tiny all-pairs sweep.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from murb_tpu.ops.common import Accel
+from murb_tpu.ops.naive import acc_rect
+
+
+def required_order(halfwidth: float, soft: float, tol: float = 1e-4,
+                   margin: int = 2) -> int:
+    """Chebyshev order per dimension for a target interpolation error."""
+    a = max(soft / max(halfwidth, 1e-30), 1e-6)
+    rho = a + math.sqrt(1.0 + a * a)
+    return max(int(math.ceil(-math.log(tol) / math.log(rho))) + margin, 4)
+
+
+def _cheb_nodes(m: int) -> np.ndarray:
+    k = np.arange(m)
+    return np.cos(np.pi * (k + 0.5) / m)  # first-kind nodes in (-1, 1)
+
+
+def _basis(t, m: int):
+    """Lagrange-on-Chebyshev basis S (len(t), m):
+    S_k(t) = 1/m + (2/m) sum_{j>=1} T_j(t_k) T_j(t)."""
+    dtype = t.dtype
+    j = jnp.arange(1, m, dtype=dtype)
+    theta = jnp.arccos(jnp.clip(t, -1.0, 1.0))
+    t_nodes = jnp.asarray(_cheb_nodes(m), dtype)
+    tj_nodes = jnp.cos(jnp.arccos(t_nodes)[None, :] * j[:, None])  # (m-1, m)
+    tj_t = jnp.cos(theta[None, :] * j[:, None])                    # (m-1, T)
+    s = (1.0 / m) + (2.0 / m) * jnp.einsum(
+        "jk,jt->tk", tj_nodes, tj_t,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return s  # (T, m)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor")
+)
+def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
+              heavy_factor: float = 100.0) -> Accel:
+    """All-pairs softened-gravity accelerations via the Chebyshev proxy."""
+    dtype = qx.dtype
+    n = qx.shape[0]
+    gm_pos = gm > 0
+
+    # ---- bounding box of massive bodies (ghosts excluded), cubic
+    big = jnp.asarray(3.4e38, dtype)
+    lo = jnp.stack([jnp.min(jnp.where(gm_pos, q, big)) for q in (qx, qy, qz)])
+    hi = jnp.stack([jnp.max(jnp.where(gm_pos, q, -big)) for q in (qx, qy, qz)])
+    c = 0.5 * (lo + hi)
+    h = jnp.maximum(jnp.max(0.5 * (hi - lo)), jnp.asarray(1.0, dtype))
+
+    # ---- heavy-body split (static top-k selection)
+    k = max(min(heavy_k, n), 1)
+    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
+    top_gm, top_idx = jax.lax.top_k(gm, k)
+    is_heavy_slot = top_gm > heavy_factor * mean_gm          # (k,) bool
+    heavy_gm = jnp.where(is_heavy_slot, top_gm, 0.0)
+    hqx, hqy, hqz = qx[top_idx], qy[top_idx], qz[top_idx]
+    heavy_mask = jnp.zeros(n, dtype).at[top_idx].add(
+        is_heavy_slot.astype(dtype)
+    )
+    gm_eff = gm * (1.0 - heavy_mask)
+
+    # ---- interpolation bases
+    sx = _basis((qx - c[0]) / h, m)   # (n, m)
+    sy = _basis((qy - c[1]) / h, m)
+    sz = _basis((qz - c[2]) / h, m)
+
+    # ---- P2M: W_u(vw) = sum_j gm_j Sx_ju (Sy_jv Sz_jw)
+    syz = jnp.einsum("jv,jw->jvw", sy, sz).reshape(n, m * m)
+    w = jnp.einsum(
+        "ju,jp->up", gm_eff[:, None] * sx, syz,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(m * m * m)
+
+    # ---- M2L: exact sweep over the m^3 proxy nodes (reuses the rect kernel)
+    t = jnp.asarray(_cheb_nodes(m), dtype)
+    px = (c[0] + h * t)[:, None, None] + jnp.zeros((m, m, m), dtype)
+    py = (c[1] + h * t)[None, :, None] + jnp.zeros((m, m, m), dtype)
+    pz = (c[2] + h * t)[None, None, :] + jnp.zeros((m, m, m), dtype)
+    px, py, pz = px.reshape(-1), py.reshape(-1), pz.reshape(-1)
+    f = acc_rect(px, py, pz, px, py, pz, w, soft)   # (P,) x3
+
+    # ---- L2P: a_i = S_i . F
+    fstack = jnp.stack([f.ax, f.ay, f.az], axis=1).reshape(m, m * m, 3)
+    partial = jnp.einsum(
+        "ju,upc->jpc", sx, fstack, precision=jax.lax.Precision.HIGHEST,
+    )  # (n, m*m, 3)
+    acc = jnp.einsum(
+        "jp,jpc->jc", syz, partial, precision=jax.lax.Precision.HIGHEST,
+    )  # (n, 3)
+
+    # ---- heavy sources: exact rect sweep N x k
+    dxh = hqx[None, :] - qx[:, None]
+    dyh = hqy[None, :] - qy[:, None]
+    dzh = hqz[None, :] - qz[:, None]
+    d2h = dxh * dxh + dyh * dyh + dzh * dzh + jnp.asarray(soft, dtype) ** 2
+    invh = jax.lax.rsqrt(d2h)
+    wh = heavy_gm[None, :] * (invh * invh * invh)
+    acc = acc + jnp.stack(
+        [jnp.sum(wh * dxh, 1), jnp.sum(wh * dyh, 1), jnp.sum(wh * dzh, 1)], 1
+    )
+
+    # ---- heavy targets: replace their force with the exact k x N sweep
+    ht = acc_rect(hqx, hqy, hqz, qx, qy, qz, gm, soft)
+    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)         # (k, 3)
+    sel = is_heavy_slot[:, None]
+    acc = acc.at[top_idx].set(jnp.where(sel, ht_acc, acc[top_idx]))
+
+    return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])

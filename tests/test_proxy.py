@@ -1,0 +1,83 @@
+"""Chebyshev proxy solver tests: force accuracy, trajectories, fallback."""
+import numpy as np
+import pytest
+
+from murb_tpu import G
+from murb_tpu.core.init import SCHEMES
+from murb_tpu.models import create_engine
+from murb_tpu.ops.naive import acc_naive
+from murb_tpu.ops.proxy import acc_proxy, required_order
+
+from conftest import assert_within_rel
+
+SOFT = 2.0e8
+DT = 3600.0
+
+
+def test_required_order_scaling():
+    # galaxy-like box (halfwidth ~ eps): small m; random-like box: large m
+    assert required_order(2e8, SOFT) <= 16
+    assert required_order(6.6e8, SOFT) > 24
+    assert required_order(1e8, SOFT) < required_order(1e9, SOFT)
+
+
+def test_proxy_force_accuracy_galaxy():
+    s = SCHEMES["galaxy"](2048, 123)
+    gm = np.float32(G) * s.m
+    ref = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    got = acc_proxy(s.qx, s.qy, s.qz, gm, SOFT, m=16)
+    for name, g, r in (("ax", got.ax, ref.ax), ("az", got.az, ref.az)):
+        assert_within_rel(np.asarray(g), np.asarray(r), 2e-3, f"proxy {name}",
+                          rms_floor=2e-4)
+
+
+def test_proxy_heavy_body_force_exact():
+    """The central body's force comes from the exact k x N sweep."""
+    s = SCHEMES["galaxy"](1024, 7)
+    gm = np.float32(G) * s.m
+    ref = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    got = acc_proxy(s.qx, s.qy, s.qz, gm, SOFT, m=12, heavy_k=1)
+    # body 0 is the heavy one: must match the oracle to fp32 rounding
+    for g, r in ((got.ax[0], ref.ax[0]), (got.ay[0], ref.ay[0])):
+        np.testing.assert_allclose(float(g), float(r), rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,n_ite", [(2048, 4), (2049, 3)])
+def test_proxy_trajectory_galaxy(n, n_ite):
+    """The reference's own galaxy differential cases, via the fast solver."""
+    bodies = SCHEMES["galaxy"](n, 123)
+    ref = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT)
+    tgt = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    assert tgt.using_proxy, f"expected proxy mode, got m={tgt.m}"
+    for i in range(n_ite + 1):
+        if i > 0:
+            ref.compute_one_iteration()
+            tgt.compute_one_iteration()
+        a, b = ref.bodies.unpadded(), tgt.bodies.unpadded()
+        e = 1e-1 if i > 0 else 0.0
+        for c in ("qx", "qy", "qz"):
+            assert_within_rel(b[c], a[c], e, f"proxy galaxy iter {i} {c}")
+
+
+def test_proxy_falls_back_on_random_scheme():
+    """Random's box is too large for m <= max_m: exact kernel takes over and
+    trajectories still match the oracle within the reference tolerance."""
+    bodies = SCHEMES["random"](2048, 123)
+    tgt = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    assert not tgt.using_proxy
+    ref = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT)
+    ref.compute_one_iteration()
+    tgt.compute_one_iteration()
+    a, b = ref.bodies.unpadded(), tgt.bodies.unpadded()
+    assert_within_rel(b["qx"], a["qx"], 1e-3, "proxy fallback qx")
+
+
+def test_proxy_scan_run_matches_stepwise():
+    bodies = SCHEMES["galaxy"](1024, 3)
+    a = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    b = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    for _ in range(4):
+        a.compute_one_iteration()
+    b.run(4)
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    assert_within_rel(db["qx"], da["qx"], 1e-6, "proxy scan vs stepwise")
