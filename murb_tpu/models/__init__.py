@@ -144,6 +144,7 @@ def _build_registry():
     register("shard+allgather", _shard("allgather"), aliases=("mpi",))
     register("shard+ring", _shard("ring"))
     register("shard+uneven", _shard("uneven"), aliases=("hetero",))
+    register("shard+proxy", _shard("proxy"))
 
 
 _build_registry()

@@ -78,6 +78,93 @@ def _basis(t, m: int):
     return s  # (T, m)
 
 
+# ---------------------------------------------------------------- stages
+def bounding_box(qx, qy, qz, gm_pos):
+    """(center (3,), cubic halfwidth) over bodies with positive mass."""
+    dtype = qx.dtype
+    big = jnp.asarray(3.4e38, dtype)
+    lo = jnp.stack([jnp.min(jnp.where(gm_pos, q, big)) for q in (qx, qy, qz)])
+    hi = jnp.stack([jnp.max(jnp.where(gm_pos, q, -big)) for q in (qx, qy, qz)])
+    c = 0.5 * (lo + hi)
+    h = jnp.maximum(jnp.max(0.5 * (hi - lo)), jnp.asarray(1.0, dtype))
+    return c, h
+
+
+def bases(qx, qy, qz, c, h, m: int):
+    """Per-dimension interpolation matrices Sx, Sy, Sz (n, m) and the
+    combined Syz (n, m*m)."""
+    sx = _basis((qx - c[0]) / h, m)
+    sy = _basis((qy - c[1]) / h, m)
+    sz = _basis((qz - c[2]) / h, m)
+    n = qx.shape[0]
+    syz = jnp.einsum("jv,jw->jvw", sy, sz).reshape(n, m * m)
+    return sx, syz
+
+
+def p2m(sx, syz, gm_eff, m: int):
+    """W (m^3,): source weights anterpolated to the proxy grid."""
+    return jnp.einsum(
+        "ju,jp->up", gm_eff[:, None] * sx, syz,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(m * m * m)
+
+
+def proxy_nodes(c, h, m: int, dtype):
+    t = jnp.asarray(_cheb_nodes(m), dtype)
+    px = (c[0] + h * t)[:, None, None] + jnp.zeros((m, m, m), dtype)
+    py = (c[1] + h * t)[None, :, None] + jnp.zeros((m, m, m), dtype)
+    pz = (c[2] + h * t)[None, None, :] + jnp.zeros((m, m, m), dtype)
+    return px.reshape(-1), py.reshape(-1), pz.reshape(-1)
+
+
+def m2l(c, h, w, soft, m: int, dtype):
+    """Exact sweep over the m^3 proxy nodes (reuses the rect kernel)."""
+    px, py, pz = proxy_nodes(c, h, m, dtype)
+    return acc_rect(px, py, pz, px, py, pz, w, soft)
+
+
+def l2p(sx, syz, f: Accel, m: int):
+    """a (n, 3): interpolate node forces back to the bodies."""
+    fstack = jnp.stack([f.ax, f.ay, f.az], axis=1).reshape(m, m * m, 3)
+    partial = jnp.einsum(
+        "ju,upc->jpc", sx, fstack, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.einsum(
+        "jp,jpc->jc", syz, partial, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def heavy_split(qx, qy, qz, gm, k: int, heavy_factor: float, mean_gm):
+    """Static top-k heavy-source selection.
+
+    Returns (heavy positions (k,) x3, heavy gm (k,), slot mask (k,),
+    top indices (k,), gm with heavy zeroed)."""
+    dtype = qx.dtype
+    top_gm, top_idx = jax.lax.top_k(gm, k)
+    is_heavy = top_gm > heavy_factor * mean_gm
+    heavy_gm = jnp.where(is_heavy, top_gm, 0.0)
+    heavy_mask = jnp.zeros(qx.shape[0], dtype).at[top_idx].add(
+        is_heavy.astype(dtype)
+    )
+    return ((qx[top_idx], qy[top_idx], qz[top_idx]), heavy_gm, is_heavy,
+            top_idx, gm * (1.0 - heavy_mask))
+
+
+def heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft):
+    """Exact N x k sweep: contribution of the heavy sources to every body."""
+    dtype = qx.dtype
+    hqx, hqy, hqz = hq
+    dx = hqx[None, :] - qx[:, None]
+    dy = hqy[None, :] - qy[:, None]
+    dz = hqz[None, :] - qz[:, None]
+    d2 = dx * dx + dy * dy + dz * dz + jnp.asarray(soft, dtype) ** 2
+    inv = jax.lax.rsqrt(d2)
+    wh = heavy_gm[None, :] * (inv * inv * inv)
+    return jnp.stack(
+        [jnp.sum(wh * dx, 1), jnp.sum(wh * dy, 1), jnp.sum(wh * dz, 1)], 1
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor")
 )
@@ -88,69 +175,26 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
     n = qx.shape[0]
     gm_pos = gm > 0
 
-    # ---- bounding box of massive bodies (ghosts excluded), cubic
-    big = jnp.asarray(3.4e38, dtype)
-    lo = jnp.stack([jnp.min(jnp.where(gm_pos, q, big)) for q in (qx, qy, qz)])
-    hi = jnp.stack([jnp.max(jnp.where(gm_pos, q, -big)) for q in (qx, qy, qz)])
-    c = 0.5 * (lo + hi)
-    h = jnp.maximum(jnp.max(0.5 * (hi - lo)), jnp.asarray(1.0, dtype))
+    c, h = bounding_box(qx, qy, qz, gm_pos)
 
-    # ---- heavy-body split (static top-k selection)
     k = max(min(heavy_k, n), 1)
     mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
-    top_gm, top_idx = jax.lax.top_k(gm, k)
-    is_heavy_slot = top_gm > heavy_factor * mean_gm          # (k,) bool
-    heavy_gm = jnp.where(is_heavy_slot, top_gm, 0.0)
-    hqx, hqy, hqz = qx[top_idx], qy[top_idx], qz[top_idx]
-    heavy_mask = jnp.zeros(n, dtype).at[top_idx].add(
-        is_heavy_slot.astype(dtype)
-    )
-    gm_eff = gm * (1.0 - heavy_mask)
-
-    # ---- interpolation bases
-    sx = _basis((qx - c[0]) / h, m)   # (n, m)
-    sy = _basis((qy - c[1]) / h, m)
-    sz = _basis((qz - c[2]) / h, m)
-
-    # ---- P2M: W_u(vw) = sum_j gm_j Sx_ju (Sy_jv Sz_jw)
-    syz = jnp.einsum("jv,jw->jvw", sy, sz).reshape(n, m * m)
-    w = jnp.einsum(
-        "ju,jp->up", gm_eff[:, None] * sx, syz,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(m * m * m)
-
-    # ---- M2L: exact sweep over the m^3 proxy nodes (reuses the rect kernel)
-    t = jnp.asarray(_cheb_nodes(m), dtype)
-    px = (c[0] + h * t)[:, None, None] + jnp.zeros((m, m, m), dtype)
-    py = (c[1] + h * t)[None, :, None] + jnp.zeros((m, m, m), dtype)
-    pz = (c[2] + h * t)[None, None, :] + jnp.zeros((m, m, m), dtype)
-    px, py, pz = px.reshape(-1), py.reshape(-1), pz.reshape(-1)
-    f = acc_rect(px, py, pz, px, py, pz, w, soft)   # (P,) x3
-
-    # ---- L2P: a_i = S_i . F
-    fstack = jnp.stack([f.ax, f.ay, f.az], axis=1).reshape(m, m * m, 3)
-    partial = jnp.einsum(
-        "ju,upc->jpc", sx, fstack, precision=jax.lax.Precision.HIGHEST,
-    )  # (n, m*m, 3)
-    acc = jnp.einsum(
-        "jp,jpc->jc", syz, partial, precision=jax.lax.Precision.HIGHEST,
-    )  # (n, 3)
-
-    # ---- heavy sources: exact rect sweep N x k
-    dxh = hqx[None, :] - qx[:, None]
-    dyh = hqy[None, :] - qy[:, None]
-    dzh = hqz[None, :] - qz[:, None]
-    d2h = dxh * dxh + dyh * dyh + dzh * dzh + jnp.asarray(soft, dtype) ** 2
-    invh = jax.lax.rsqrt(d2h)
-    wh = heavy_gm[None, :] * (invh * invh * invh)
-    acc = acc + jnp.stack(
-        [jnp.sum(wh * dxh, 1), jnp.sum(wh * dyh, 1), jnp.sum(wh * dzh, 1)], 1
+    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
+        qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    # ---- heavy targets: replace their force with the exact k x N sweep
-    ht = acc_rect(hqx, hqy, hqz, qx, qy, qz, gm, soft)
-    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)         # (k, 3)
-    sel = is_heavy_slot[:, None]
-    acc = acc.at[top_idx].set(jnp.where(sel, ht_acc, acc[top_idx]))
+    sx, syz = bases(qx, qy, qz, c, h, m)
+    w = p2m(sx, syz, gm_eff, m)
+    f = m2l(c, h, w, soft, m, dtype)
+    acc = l2p(sx, syz, f, m)
+
+    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
+
+    # heavy targets: replace their force with the exact k x N sweep
+    ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
+    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
+    acc = acc.at[top_idx].set(
+        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
+    )
 
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])

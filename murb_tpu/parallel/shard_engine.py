@@ -19,6 +19,14 @@ TPU-native rebuild of the reference's MPI engine
     kernel -- the ring-attention analogue of the tile sweep (SURVEY.md
     section 5b).
 
+  * ``proxy`` -- the production multi-chip path: each shard anterpolates its
+    bodies to the global Chebyshev proxy grid locally (P2M), the m^3
+    coefficient tensor is ``psum``-merged (~16 KB at m=16 -- the ONLY
+    O(m^3) communication per step, vs O(N) for allgather/ring), the tiny
+    node sweep runs redundantly per shard, and L2P stays local.  Heavy
+    bodies are gathered as a D*k list and corrected exactly with a psum of
+    their forces.  Communication per step is independent of N.
+
   * ``uneven`` -- capability parity with the hetero engine's fraction knob
     (env MURB_HETERO_GPU_FRACTION, ref: SimulationNBodyHetero.cu:16-18,
     222-227): shard 0 computes a tunable fraction of the i-rows, the rest
@@ -102,6 +110,28 @@ class ShardedEngine(SimulationEngine):
             # Degrade to a single shard, mirroring the hetero engine's
             # pure-CPU fallback for small N (ref: .cu:229-257).
             shards = 1
+
+        if mode == "proxy":
+            # Pick the Chebyshev order from the initial box (same policy as
+            # the single-chip ProxyEngine); fall back to the exact ring mode
+            # when the box is too large relative to the softening.
+            from murb_tpu.ops.proxy import required_order
+
+            d = bodies.unpadded()
+            sel = d["m"] > 0
+            half = max(
+                (d[kk][sel].max() - d[kk][sel].min()) / 2.0
+                for kk in ("qx", "qy", "qz")
+            ) if sel.any() else 1.0
+            soft_val = kwargs.get("soft", 2.0e8)
+            m = required_order(half * 1.5, soft_val, 1e-4)
+            m = (m + 3) // 4 * 4
+            if m > 24:
+                mode = "ring"
+            else:
+                self.proxy_m = m
+                self.proxy_heavy_k = 1
+
         self.mesh = make_mesh(shards)
         self.n_shards = self.mesh.devices.size
         self.mode = mode
@@ -121,15 +151,19 @@ class ShardedEngine(SimulationEngine):
             self._state = shard_state(self._state, self.mesh)
 
     # ------------------------------------------------------------ step build
-    def _make_step(self):
+    def _local_step_fn(self):
         if self.mode == "allgather":
-            local = self._allgather_local_step()
-        elif self.mode == "ring":
-            local = self._ring_local_step()
-        elif self.mode == "uneven":
-            local = self._uneven_local_step()
-        else:
-            raise ValueError(f"unknown shard mode {self.mode!r}")
+            return self._allgather_local_step()
+        if self.mode == "ring":
+            return self._ring_local_step()
+        if self.mode == "uneven":
+            return self._uneven_local_step()
+        if self.mode == "proxy":
+            return self._proxy_local_step()
+        raise ValueError(f"unknown shard mode {self.mode!r}")
+
+    def _make_step(self):
+        local = self._local_step_fn()
 
         spec = P() if self.mode == "uneven" else P(SHARD_AXIS)
         fn = _shard_map(
@@ -181,6 +215,83 @@ class ShardedEngine(SimulationEngine):
             *_, ax, ay, az = jax.lax.fori_loop(0, d, body, init)
             acc = Accel(ax, ay, az)
             return euler_update(state, acc, dt), acc
+
+        return step
+
+    # ---------------------------------------------------------- mode: proxy
+    def _proxy_local_step(self):
+        from murb_tpu.ops.proxy import (
+            bases,
+            heavy_source_acc,
+            heavy_split,
+            l2p,
+            m2l,
+            p2m,
+        )
+
+        dt = self._dt
+        soft = self.soft
+        m = self.proxy_m
+        k = self.proxy_heavy_k
+        heavy_factor = 100.0
+
+        def step(state: BodyState):
+            dtype = state.dtype
+            gm_l = jnp.asarray(G, dtype) * state.m
+            gm_pos = gm_l > 0
+            qx, qy, qz = state.qx, state.qy, state.qz
+
+            # global bounding box (pmin/pmax over the mesh)
+            big = jnp.asarray(3.4e38, dtype)
+            lo_l = jnp.stack(
+                [jnp.min(jnp.where(gm_pos, q, big)) for q in (qx, qy, qz)]
+            )
+            hi_l = jnp.stack(
+                [jnp.max(jnp.where(gm_pos, q, -big)) for q in (qx, qy, qz)]
+            )
+            lo = jax.lax.pmin(lo_l, SHARD_AXIS)
+            hi = jax.lax.pmax(hi_l, SHARD_AXIS)
+            c = 0.5 * (lo + hi)
+            h = jnp.maximum(jnp.max(0.5 * (hi - lo)), jnp.asarray(1.0, dtype))
+
+            # global mean mass -> consistent heavy threshold on all shards
+            s_gm = jax.lax.psum(jnp.sum(gm_l), SHARD_AXIS)
+            s_cnt = jax.lax.psum(jnp.sum(gm_pos.astype(dtype)), SHARD_AXIS)
+            mean_gm = s_gm / jnp.maximum(s_cnt, 1.0)
+
+            # local heavy candidates, gathered into a global D*k list
+            hq_l, hgm_l, is_heavy_l, top_idx_l, gm_eff = heavy_split(
+                qx, qy, qz, gm_l, k, heavy_factor, mean_gm
+            )
+            gather = lambda a: jax.lax.all_gather(a, SHARD_AXIS, tiled=True)
+            hq_g = (gather(hq_l[0]), gather(hq_l[1]), gather(hq_l[2]))
+            hgm_g = gather(hgm_l)
+
+            # P2M locally; ONE psum of the m^3 coefficients is the only
+            # N-independent collective of the far field
+            sx, syz = bases(qx, qy, qz, c, h, m)
+            w = jax.lax.psum(p2m(sx, syz, gm_eff, m), SHARD_AXIS)
+
+            f = m2l(c, h, w, soft, m, dtype)      # redundant tiny sweep
+            acc = l2p(sx, syz, f, m)              # local rows only
+            acc = acc + heavy_source_acc(qx, qy, qz, hq_g, hgm_g, soft)
+
+            # exact forces on the global heavy list: psum of local partials
+            ht_part = acc_rect(hq_g[0], hq_g[1], hq_g[2], qx, qy, qz,
+                               gm_l, soft)
+            ht = jax.lax.psum(
+                jnp.stack([ht_part.ax, ht_part.ay, ht_part.az], 1),
+                SHARD_AXIS,
+            )  # (D*k, 3)
+            me = jax.lax.axis_index(SHARD_AXIS)
+            start = (me * k).astype(jnp.int32)
+            mine = jax.lax.dynamic_slice(ht, (start, jnp.int32(0)), (k, 3))
+            acc = acc.at[top_idx_l].set(
+                jnp.where(is_heavy_l[:, None], mine, acc[top_idx_l])
+            )
+
+            accel = Accel(acc[:, 0], acc[:, 1], acc[:, 2])
+            return euler_update(state, accel, dt), accel
 
         return step
 
@@ -241,12 +352,7 @@ class ShardedEngine(SimulationEngine):
         if fn is None:
             # Unjitted shard_map'd step for the loop body; one compiled
             # program serves any iteration count (runtime fori bound).
-            if self.mode == "allgather":
-                local = self._allgather_local_step()
-            elif self.mode == "ring":
-                local = self._ring_local_step()
-            else:
-                local = self._uneven_local_step()
+            local = self._local_step_fn()
             spec = P() if self.mode == "uneven" else P(SHARD_AXIS)
             inner_step = _shard_map(
                 local, mesh=self.mesh, in_specs=spec, out_specs=(spec, spec)

@@ -34,6 +34,33 @@ def test_shard_modes_match_oracle(tag, n_devices):
     _compare_vs_oracle(tag, 1000, 3, 1e-3, shards=n_devices)
 
 
+def test_shard_proxy_matches_oracle(n_devices):
+    """Distributed proxy: only the m^3 coefficient tensor crosses shards."""
+    _compare_vs_oracle("shard+proxy", 1000, 3, 2e-3, shards=n_devices)
+
+
+def test_shard_proxy_equals_single_chip_proxy(n_devices):
+    """Sharded and single-device proxy land on the same trajectory."""
+    bodies = SCHEMES["galaxy"](1024, 7)
+    a = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, m=16)
+    b = create_engine("shard+proxy", bodies, soft=SOFT, dt=DT,
+                      shards=n_devices)
+    assert b.mode == "proxy"
+    for _ in range(3):
+        a.compute_one_iteration()
+        b.compute_one_iteration()
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    for c in ("qx", "qy", "qz"):
+        assert_within_rel(db[c], da[c], 1e-4, f"shard proxy {c}")
+
+
+def test_shard_proxy_falls_back_to_ring_on_large_box(n_devices):
+    bodies = SCHEMES["random"](1000, 1)   # box too large for m <= 24
+    e = create_engine("shard+proxy", bodies, soft=SOFT, dt=DT,
+                      shards=min(4, n_devices))
+    assert e.mode == "ring"
+
+
 def test_mpi_alias(n_devices):
     _compare_vs_oracle("mpi", 600, 2, 1e-3, shards=min(4, n_devices))
 
