@@ -65,6 +65,14 @@ def build_engine(cfg: MurbConfig):
         from murb_tpu.core.init import milkyway_andromeda_masks
 
         extra["masks"] = milkyway_andromeda_masks(bodies.npad, bodies.n)
+    if canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
+                     "tpu+kdk"):
+        from murb_tpu.ops import make_acc_fn
+
+        extra["acc_fn"] = make_acc_fn(
+            cfg.kernel, block_i=cfg.block_i, block_j=cfg.block_j,
+            chunk=cfg.chunk,
+        )
     return create_engine(
         cfg.impl_tag, bodies,
         soft=cfg.softening, dt=cfg.dt,

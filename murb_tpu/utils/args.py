@@ -46,6 +46,7 @@ class MurbConfig:
     dump_traj: str | None = None             # binary trajectory output path
     dump_every: int = 1                      # record every k-th iteration
     check_finite: bool = False               # fail-fast NaN guard per frame
+    kernel: str = "auto"                     # acc kernel for wrapper engines
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -125,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "(non-blocking background writer).")
     ext.add_argument("--dump-every", dest="dump_every", type=int, default=1,
                      help="record every k-th iteration (default 1).")
+    ext.add_argument("--kernel", type=str, default="auto",
+                     help="acceleration kernel for tracking/leapfrog/kdk "
+                          "engines: auto|naive|chunked|tile|hybrid|mxu|proxy.")
     ext.add_argument("--check-finite", dest="check_finite", action="store_true",
                      help="abort with a clear error if the state goes "
                           "NaN/Inf (fail-fast debug mode; adds a device "

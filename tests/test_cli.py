@@ -82,3 +82,33 @@ def test_cli_list_impls(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "tpu+mxu" in out and "cpu+naive" in out
+
+
+def test_cli_kernel_selection(capsys):
+    rc = main(["-n", "300", "-i", "2", "--im", "gpu+tracking", "--nv",
+               "--kernel", "naive"])
+    assert rc == 0
+
+
+def test_make_acc_fn_registry():
+    import numpy as np
+    import pytest as _pytest
+
+    from murb_tpu import G
+    from murb_tpu.core.init import SCHEMES
+    from murb_tpu.ops import make_acc_fn
+    from murb_tpu.ops.naive import acc_naive
+
+    s = SCHEMES["random"](256, 2)
+    gm = np.float32(G) * s.m
+    ref = acc_naive(s.qx, s.qy, s.qz, gm, 2e8)
+    from conftest import assert_within_rel
+
+    for name in ("auto", "chunked", "tile", "hybrid"):
+        fn = make_acc_fn(name)
+        got = fn(s.qx, s.qy, s.qz, gm, 2e8)
+        # wiring check only; kernel accuracy is covered in test_oracle.py
+        assert_within_rel(np.asarray(got.ax), np.asarray(ref.ax), 5e-2,
+                          f"kernel {name}", rms_floor=1e-2)
+    with _pytest.raises(ValueError, match="unknown kernel"):
+        make_acc_fn("nope")
