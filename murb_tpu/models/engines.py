@@ -157,7 +157,7 @@ class ProxyEngine(EulerAccelEngine):
     tag = "tpu+proxy"
 
     def __init__(self, bodies, soft=None, dt=None, *, m: int = 0,
-                 tol: float = 1e-4, max_m: int = 24, heavy_k: int = 1,
+                 tol: float = 1e-4, max_m: int = 32, heavy_k: int = 1,
                  box_margin: float = 1.5, **kw):
         super().__init__(bodies, soft, dt, **kw)
         import numpy as np

@@ -80,22 +80,25 @@ def _basis(t, m: int):
 
 # ---------------------------------------------------------------- stages
 def bounding_box(qx, qy, qz, gm_pos):
-    """(center (3,), cubic halfwidth) over bodies with positive mass."""
+    """(center (3,), per-dimension halfwidths (3,)) over massive bodies.
+
+    Anisotropic: a flattened system (a galactic disk) gets a thin box in z,
+    which tightens the interpolation there for the same order m."""
     dtype = qx.dtype
     big = jnp.asarray(3.4e38, dtype)
     lo = jnp.stack([jnp.min(jnp.where(gm_pos, q, big)) for q in (qx, qy, qz)])
     hi = jnp.stack([jnp.max(jnp.where(gm_pos, q, -big)) for q in (qx, qy, qz)])
     c = 0.5 * (lo + hi)
-    h = jnp.maximum(jnp.max(0.5 * (hi - lo)), jnp.asarray(1.0, dtype))
+    h = jnp.maximum(0.5 * (hi - lo), jnp.asarray(1.0, dtype))
     return c, h
 
 
 def bases(qx, qy, qz, c, h, m: int):
     """Per-dimension interpolation matrices Sx, Sy, Sz (n, m) and the
-    combined Syz (n, m*m)."""
-    sx = _basis((qx - c[0]) / h, m)
-    sy = _basis((qy - c[1]) / h, m)
-    sz = _basis((qz - c[2]) / h, m)
+    combined Syz (n, m*m).  ``h`` is the per-dimension halfwidth (3,)."""
+    sx = _basis((qx - c[0]) / h[0], m)
+    sy = _basis((qy - c[1]) / h[1], m)
+    sz = _basis((qz - c[2]) / h[2], m)
     n = qx.shape[0]
     syz = jnp.einsum("jv,jw->jvw", sy, sz).reshape(n, m * m)
     return sx, syz
@@ -111,16 +114,45 @@ def p2m(sx, syz, gm_eff, m: int):
 
 def proxy_nodes(c, h, m: int, dtype):
     t = jnp.asarray(_cheb_nodes(m), dtype)
-    px = (c[0] + h * t)[:, None, None] + jnp.zeros((m, m, m), dtype)
-    py = (c[1] + h * t)[None, :, None] + jnp.zeros((m, m, m), dtype)
-    pz = (c[2] + h * t)[None, None, :] + jnp.zeros((m, m, m), dtype)
+    px = (c[0] + h[0] * t)[:, None, None] + jnp.zeros((m, m, m), dtype)
+    py = (c[1] + h[1] * t)[None, :, None] + jnp.zeros((m, m, m), dtype)
+    pz = (c[2] + h[2] * t)[None, None, :] + jnp.zeros((m, m, m), dtype)
     return px.reshape(-1), py.reshape(-1), pz.reshape(-1)
 
 
 def m2l(c, h, w, soft, m: int, dtype):
-    """Exact sweep over the m^3 proxy nodes (reuses the rect kernel)."""
+    """Exact sweep over the m^3 proxy nodes.
+
+    Small grids use the jnp broadcast rect kernel; large grids (m >= 20,
+    P >= 8000: P^2 broadcast would blow memory) go through the chunked or
+    Pallas hybrid rect kernel.
+    """
     px, py, pz = proxy_nodes(c, h, m, dtype)
-    return acc_rect(px, py, pz, px, py, pz, w, soft)
+    p = m * m * m
+    if p < 8000:
+        return acc_rect(px, py, pz, px, py, pz, w, soft)
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu" and p % 256 == 0:
+        from murb_tpu.ops.hybrid import acc_hybrid_rect
+
+        return acc_hybrid_rect(px, py, pz, px, py, pz, w, soft, passes=2)
+    # chunked i-rows, O(chunk * P) memory
+    chunk = 2048
+    nchunks = -(-p // chunk)
+    pad = nchunks * chunk - p
+    pads = lambda a: jnp.pad(a, (0, pad))
+    qxi = pads(px).reshape(nchunks, chunk)
+    qyi = pads(py).reshape(nchunks, chunk)
+    qzi = pads(pz).reshape(nchunks, chunk)
+
+    def one(args):
+        cx, cy, cz = args
+        a = acc_rect(cx, cy, cz, px, py, pz, w, soft)
+        return a.ax, a.ay, a.az
+
+    ax, ay, az = _jax.lax.map(one, (qxi, qyi, qzi))
+    return Accel(ax.reshape(-1)[:p], ay.reshape(-1)[:p], az.reshape(-1)[:p])
 
 
 def l2p(sx, syz, f: Accel, m: int):

@@ -252,7 +252,7 @@ class ShardedEngine(SimulationEngine):
             lo = jax.lax.pmin(lo_l, SHARD_AXIS)
             hi = jax.lax.pmax(hi_l, SHARD_AXIS)
             c = 0.5 * (lo + hi)
-            h = jnp.maximum(jnp.max(0.5 * (hi - lo)), jnp.asarray(1.0, dtype))
+            h = jnp.maximum(0.5 * (hi - lo), jnp.asarray(1.0, dtype))  # (3,)
 
             # global mean mass -> consistent heavy threshold on all shards
             s_gm = jax.lax.psum(jnp.sum(gm_l), SHARD_AXIS)

@@ -50,7 +50,7 @@ def test_ghosts_contribute_zero():
     ref = _numpy_reference(d, SOFT)
     got = np.stack([np.asarray(acc_pad.ax)[:250], np.asarray(acc_pad.ay)[:250],
                     np.asarray(acc_pad.az)[:250]], 1)
-    assert_within_rel(got, ref, 5e-4, "padded vs unpadded")
+    assert_within_rel(got, ref, 5e-4, "padded vs unpadded", rms_floor=1e-5)
 
 
 @pytest.mark.parametrize("chunk", [128, 256])

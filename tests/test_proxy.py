@@ -59,6 +59,23 @@ def test_proxy_trajectory_galaxy(n, n_ite):
             assert_within_rel(b[c], a[c], e, f"proxy galaxy iter {i} {c}")
 
 
+def test_proxy_mid_box_high_order():
+    """m=28 on a ~3x-galaxy-sized box (exercises the chunked large-P M2L)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    s = SCHEMES["galaxy"](1024, 11)
+    scale = jnp.asarray(3.0, s.dtype)
+    s = dataclasses.replace(s, qx=s.qx * scale, qy=s.qy * scale,
+                            qz=s.qz * scale)
+    gm = np.float32(G) * s.m
+    ref = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    got = acc_proxy(s.qx, s.qy, s.qz, gm, SOFT, m=28)
+    assert_within_rel(np.asarray(got.ax), np.asarray(ref.ax), 5e-3,
+                      "proxy m=28 ax", rms_floor=5e-4)
+
+
 def test_proxy_falls_back_on_random_scheme():
     """Random's box is too large for m <= max_m: exact kernel takes over and
     trajectories still match the oracle within the reference tolerance."""
