@@ -134,7 +134,6 @@ class EulerAccelEngine(SimulationEngine):
 
     def _make_step(self):
         dt = self._dt
-        soft = self.soft  # noqa: F841  (captured by subclasses via self)
 
         def step(state: BodyState):
             acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))

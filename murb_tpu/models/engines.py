@@ -27,7 +27,6 @@ from murb_tpu.core.integrators import (
     leapfrog_first,
     leapfrog_last,
     leapfrog_middle,
-    leapfrog_positions,
 )
 from murb_tpu.core import metrics as metrics_mod
 from murb_tpu.models.base import EulerAccelEngine, SimulationEngine
@@ -157,14 +156,14 @@ class ProxyEngine(EulerAccelEngine):
     tag = "tpu+proxy"
 
     def __init__(self, bodies, soft=None, dt=None, *, m: int = 0,
-                 tol: float = 1e-4, max_m: int = 32, heavy_k: int = 1,
-                 box_margin: float = 1.5, **kw):
+                 cells: int = 0, tol: float = 1e-4, max_m: int = 32,
+                 heavy_k: int = 1, box_margin: float = 1.5, **kw):
         super().__init__(bodies, soft, dt, **kw)
-        import numpy as np
-
         from murb_tpu.ops.proxy import required_order
 
-        if m == 0:
+        round4 = lambda x: (x + 3) // 4 * 4
+        auto = m == 0
+        if auto:
             d = self._state.unpadded()
             sel = d["m"] > 0
             if sel.any():
@@ -174,12 +173,31 @@ class ProxyEngine(EulerAccelEngine):
                 )
             else:
                 half = 1.0
-            # margin: the box grows as the system evolves
-            m = required_order(half * box_margin, self.soft, tol)
-            m = (m + 3) // 4 * 4  # round up: fewer distinct compiled shapes
+            # Prefer a single global expansion (box-growth margin applied);
+            # fall to the octant (2-level) decomposition for larger boxes
+            # (halving the box is itself the margin there).
+            m1 = round4(required_order(half * box_margin, self.soft, tol))
+            m2 = round4(required_order(half / 2, self.soft, tol))
+            if m1 <= 20:
+                m, cells = m1, 1
+            else:
+                m, cells = m2, 2
         self.m = int(m)
+        self.cells = int(cells or 1)
         self.heavy_k = heavy_k
         self.using_proxy = self.m <= max_m
+        if auto and self.using_proxy:
+            # Cost model: the proxy must not be drastically costlier than
+            # the exact sweep (at small N the node sweep dominates).  Rough
+            # op counts; the generous slack keeps the reference's small
+            # differential cases (N=2048 galaxy, ~17x) on the proxy path
+            # while rejecting pathological ones (small-N octant mode, ~1000x).
+            n = self._state.npad
+            p_tot = self.cells**3 * self.m**3
+            est_proxy = self.cells**3 * 8 * n * self.m**3 + 14 * p_tot**2
+            est_direct = 14 * n * n
+            if est_proxy > 30 * est_direct:
+                self.using_proxy = False
         if not self.using_proxy:
             self._fallback = HybridEngine(bodies, soft, dt, **kw)
 
@@ -187,7 +205,7 @@ class ProxyEngine(EulerAccelEngine):
         from murb_tpu.ops.proxy import acc_proxy
 
         return acc_proxy(qx, qy, qz, gm, self.soft, m=self.m,
-                         heavy_k=self.heavy_k)
+                         heavy_k=self.heavy_k, cells=self.cells)
 
     def _make_step(self):
         if not self.using_proxy:

@@ -128,15 +128,31 @@ def m2l(c, h, w, soft, m: int, dtype):
     Pallas hybrid rect kernel.
     """
     px, py, pz = proxy_nodes(c, h, m, dtype)
-    p = m * m * m
+    return node_sweep(px, py, pz, w, soft)
+
+
+def node_sweep(px, py, pz, w, soft) -> Accel:
+    """Exact all-pairs accelerations over proxy nodes with weights ``w``.
+
+    Small sets use the jnp broadcast rect kernel; large sets (P^2 broadcast
+    would blow memory) go through the Pallas hybrid kernel on TPU (padded to
+    its block multiple with zero-weight ghost nodes) or a chunked map
+    elsewhere.
+    """
+    p = px.shape[0]
     if p < 8000:
         return acc_rect(px, py, pz, px, py, pz, w, soft)
     import jax as _jax
 
-    if _jax.default_backend() == "tpu" and p % 256 == 0:
+    if _jax.default_backend() == "tpu":
         from murb_tpu.ops.hybrid import acc_hybrid_rect
 
-        return acc_hybrid_rect(px, py, pz, px, py, pz, w, soft, passes=2)
+        pad = (-p) % 2048
+        pads = lambda a: jnp.pad(a, (0, pad))
+        a = acc_hybrid_rect(pads(px), pads(py), pads(pz),
+                            pads(px), pads(py), pads(pz), pads(w), soft,
+                            passes=2)
+        return Accel(a.ax[:p], a.ay[:p], a.az[:p])
     # chunked i-rows, O(chunk * P) memory
     chunk = 2048
     nchunks = -(-p // chunk)
@@ -198,11 +214,19 @@ def heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor")
+    jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor", "cells")
 )
 def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
-              heavy_factor: float = 100.0) -> Accel:
-    """All-pairs softened-gravity accelerations via the Chebyshev proxy."""
+              heavy_factor: float = 100.0, cells: int = 1) -> Accel:
+    """All-pairs softened-gravity accelerations via the Chebyshev proxy.
+
+    ``cells=2`` splits the domain into 2x2x2 octants with per-octant
+    expansions (bodies interpolate only on their own octant; the octant
+    grids interact through one concatenated exact node sweep).  Halving the
+    box doubles the analyticity ratio a = eps/h, so boxes too large for a
+    single global expansion (the random scheme) converge at moderate m --
+    the first rung of a full multi-level scheme.
+    """
     dtype = qx.dtype
     n = qx.shape[0]
     gm_pos = gm > 0
@@ -215,10 +239,15 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
         qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    sx, syz = bases(qx, qy, qz, c, h, m)
-    w = p2m(sx, syz, gm_eff, m)
-    f = m2l(c, h, w, soft, m, dtype)
-    acc = l2p(sx, syz, f, m)
+    if cells == 1:
+        sx, syz = bases(qx, qy, qz, c, h, m)
+        w = p2m(sx, syz, gm_eff, m)
+        f = m2l(c, h, w, soft, m, dtype)
+        acc = l2p(sx, syz, f, m)
+    elif cells == 2:
+        acc = _two_level(qx, qy, qz, gm_eff, c, h, soft, m, dtype)
+    else:
+        raise ValueError("cells must be 1 or 2")
 
     acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
 
@@ -230,3 +259,45 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
     )
 
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])
+
+
+def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
+    """Octant decomposition: per-octant expansions + one joint node sweep."""
+    half = 0.5 * h  # (3,) octant halfwidths
+    octants = []
+    for ox in (-1, 1):
+        for oy in (-1, 1):
+            for oz in (-1, 1):
+                octants.append(
+                    jnp.stack([c[0] + ox * half[0], c[1] + oy * half[1],
+                               c[2] + oz * half[2]])
+                )
+
+    def member(co):
+        """1.0 for bodies whose octant this is (boundary ties go low side)."""
+        mx = jnp.where(co[0] > c[0], qx > c[0], qx <= c[0])
+        my = jnp.where(co[1] > c[1], qy > c[1], qy <= c[1])
+        mz = jnp.where(co[2] > c[2], qz > c[2], qz <= c[2])
+        return (mx & my & mz).astype(dtype)
+
+    # P2M per octant -> concatenated weights + node coords, one exact sweep
+    ws, pxs, pys, pzs = [], [], [], []
+    for co in octants:
+        sx, syz = bases(qx, qy, qz, co, half, m)
+        ws.append(p2m(sx, syz, gm_eff * member(co), m))
+        px, py, pz = proxy_nodes(co, half, m, dtype)
+        pxs.append(px)
+        pys.append(py)
+        pzs.append(pz)
+    f = node_sweep(jnp.concatenate(pxs), jnp.concatenate(pys),
+                   jnp.concatenate(pzs), jnp.concatenate(ws), soft)
+
+    # L2P: each body reads its own octant's field
+    acc = jnp.zeros((qx.shape[0], 3), dtype)
+    p = m * m * m
+    for o, co in enumerate(octants):
+        sx, syz = bases(qx, qy, qz, co, half, m)
+        fo = Accel(f.ax[o * p:(o + 1) * p], f.ay[o * p:(o + 1) * p],
+                   f.az[o * p:(o + 1) * p])
+        acc = acc + member(co)[:, None] * l2p(sx, syz, fo, m)
+    return acc

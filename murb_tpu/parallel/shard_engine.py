@@ -36,7 +36,6 @@ TPU-native rebuild of the reference's MPI engine
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax

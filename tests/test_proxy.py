@@ -76,11 +76,46 @@ def test_proxy_mid_box_high_order():
                       "proxy m=28 ax", rms_floor=5e-4)
 
 
-def test_proxy_falls_back_on_random_scheme():
-    """Random's box is too large for m <= max_m: exact kernel takes over and
-    trajectories still match the oracle within the reference tolerance."""
+def test_proxy_two_level_covers_random_scheme():
+    """Explicit octant decomposition matches the oracle on the random scheme
+    within the reference tolerance (the auto policy only picks it when the
+    cost model favors it, i.e. at large N)."""
     bodies = SCHEMES["random"](2048, 123)
-    tgt = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    tgt = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, m=20, cells=2)
+    assert tgt.using_proxy and tgt.cells == 2
+    ref = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT)
+    for _ in range(2):
+        ref.compute_one_iteration()
+        tgt.compute_one_iteration()
+    a, b = ref.bodies.unpadded(), tgt.bodies.unpadded()
+    assert_within_rel(b["qx"], a["qx"], 1e-3, "proxy two-level qx")
+    assert_within_rel(b["qz"], a["qz"], 1e-3, "proxy two-level qz")
+
+
+def test_proxy_auto_policy():
+    """Auto selection: small-N random -> exact fallback (cost model);
+    galaxy -> single-level proxy."""
+    rnd = create_engine("tpu+proxy", SCHEMES["random"](2048, 1),
+                        soft=SOFT, dt=DT)
+    assert not rnd.using_proxy          # node sweep would dwarf direct sum
+    gal = create_engine("tpu+proxy", SCHEMES["galaxy"](2048, 1),
+                        soft=SOFT, dt=DT)
+    assert gal.using_proxy and gal.cells == 1
+
+
+def test_proxy_two_level_force_accuracy():
+    s = SCHEMES["random"](2048, 5)
+    gm = np.float32(G) * s.m
+    ref = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    got = acc_proxy(s.qx, s.qy, s.qz, gm, SOFT, m=20, cells=2)
+    assert_within_rel(np.asarray(got.ax), np.asarray(ref.ax), 5e-3,
+                      "two-level ax", rms_floor=5e-4)
+
+
+def test_proxy_falls_back_when_capped():
+    """An artificially tiny max_m forces the exact-kernel fallback."""
+    bodies = SCHEMES["random"](1024, 123)
+    tgt = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, max_m=8)
     assert not tgt.using_proxy
     ref = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT)
     ref.compute_one_iteration()
