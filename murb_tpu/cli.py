@@ -180,18 +180,25 @@ def main(argv=None) -> int:
         if cfg.check_finite:
             engine.assert_finite()
     else:
-        for i_ite in range(1, cfg.n_iterations + 1):
+        chunk = max(cfg.ite_chunk, 1)
+        i_ite = 0
+        while i_ite < cfg.n_iterations:
             if visu.window_should_close():
                 break
             visu.refresh_display(engine.bodies, time_s=physic_time)
 
+            k = min(chunk, cfg.n_iterations - i_ite)
             perf_ite.start()
-            engine.compute_one_iteration()
+            if k == 1:
+                engine.compute_one_iteration()
+            else:
+                engine.run(k)
             engine.block_until_ready()   # analogue of cudaDeviceSynchronize
             perf_ite.stop()
             perf_total += perf_ite
 
-            physic_time += engine.dt
+            i_ite += k
+            physic_time += engine.dt * k
             n_done = i_ite
             record(i_ite)
             if cfg.check_finite:

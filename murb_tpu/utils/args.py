@@ -47,6 +47,9 @@ class MurbConfig:
     dump_every: int = 1                      # record every k-th iteration
     check_finite: bool = False               # fail-fast NaN guard per frame
     kernel: str = "auto"                     # acc kernel for wrapper engines
+    ite_chunk: int = 1                       # iterations per device dispatch
+    cam_azim: float = 0.0                    # offline renderer camera
+    cam_elev: float = 90.0
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -126,6 +129,15 @@ def build_parser() -> argparse.ArgumentParser:
                           "(non-blocking background writer).")
     ext.add_argument("--dump-every", dest="dump_every", type=int, default=1,
                      help="record every k-th iteration (default 1).")
+    ext.add_argument("--ite-chunk", dest="ite_chunk", type=int, default=1,
+                     help="iterations per device dispatch in the frame loop "
+                          "(amortizes host latency; verbose lines print per "
+                          "chunk).")
+    ext.add_argument("--cam-azim", dest="cam_azim", type=float, default=0.0,
+                     help="offline renderer camera azimuth (degrees).")
+    ext.add_argument("--cam-elev", dest="cam_elev", type=float, default=90.0,
+                     help="offline renderer camera elevation (degrees; 90 = "
+                          "top-down xy view).")
     ext.add_argument("--kernel", type=str, default="auto",
                      help="acceleration kernel for tracking/leapfrog/kdk "
                           "engines: auto|naive|chunked|tile|hybrid|mxu|proxy.")

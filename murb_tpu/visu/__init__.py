@@ -80,11 +80,28 @@ def cyberpunk_colors(vx, vy, vz, time_s: float = 0.0, bpm: float = 130.0):
     return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
+def project(qx, qy, qz, azim_deg: float = 0.0, elev_deg: float = 90.0):
+    """Orthographic camera projection -> (u, v) screen coordinates.
+
+    The analogue of the reference's view matrix (``OGLControl``,
+    ref: src/common/ogl/OGLControl.hpp:11-48) for the offline renderer:
+    rotate by azimuth about z, then tilt by elevation; elev=90 is the
+    top-down x-y view."""
+    az = np.deg2rad(azim_deg)
+    el = np.deg2rad(elev_deg)
+    x = np.cos(az) * qx + np.sin(az) * qy
+    y = -np.sin(az) * qx + np.cos(az) * qy
+    u = x
+    v = np.sin(el) * y - np.cos(el) * qz
+    return u, v
+
+
 class OfflineSpheresVisu(SpheresVisu):
     """PNG-per-frame renderer (matplotlib Agg).  ``--visu-out DIR``."""
 
     def __init__(self, out_dir: str, *, width: int = 1024, height: int = 768,
-                 color: bool = True, max_frames: int = 10000):
+                 color: bool = True, max_frames: int = 10000,
+                 azim: float = 0.0, elev: float = 90.0):
         import matplotlib
 
         matplotlib.use("Agg")
@@ -94,6 +111,8 @@ class OfflineSpheresVisu(SpheresVisu):
         self.height = height
         self.color = color
         self.max_frames = max_frames
+        self.azim = azim
+        self.elev = elev
         self._frame = 0
 
     def refresh_display(self, state=None, time_s: float | None = None) -> None:
@@ -114,7 +133,8 @@ class OfflineSpheresVisu(SpheresVisu):
             facecolor="black",
         )
         ax = fig.add_subplot(111, facecolor="black")
-        ax.scatter(d["qx"], d["qy"], s=0.5, c=colors, linewidths=0)
+        u, v = project(d["qx"], d["qy"], d["qz"], self.azim, self.elev)
+        ax.scatter(u, v, s=0.5, c=colors, linewidths=0)
         ax.set_axis_off()
         fig.savefig(
             os.path.join(self.out_dir, f"frame_{self._frame:06d}.png"),
@@ -131,6 +151,8 @@ def create_visu(cfg, for_state=None) -> SpheresVisu:
             return OfflineSpheresVisu(
                 cfg.visu_out, width=cfg.win_width, height=cfg.win_height,
                 color=cfg.visu_color,
+                azim=getattr(cfg, "cam_azim", 0.0),
+                elev=getattr(cfg, "cam_elev", 90.0),
             )
         except ImportError:
             print("matplotlib unavailable; falling back to headless visu")
