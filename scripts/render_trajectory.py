@@ -25,6 +25,9 @@ def main() -> int:
     ap.add_argument("--gif", default=None)
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--size", type=float, default=0.5, help="marker size")
+    ap.add_argument("--azim", type=float, default=0.0, help="camera azimuth")
+    ap.add_argument("--elev", type=float, default=90.0,
+                    help="camera elevation (90 = top-down)")
     args = ap.parse_args()
 
     import matplotlib
@@ -33,12 +36,14 @@ def main() -> int:
     import matplotlib.pyplot as plt
 
     from murb_tpu.io import read_trajectory
-    from murb_tpu.visu import cyberpunk_colors
+    from murb_tpu.visu import cyberpunk_colors, project
 
     idx, pos = read_trajectory(args.traj)
     os.makedirs(args.outdir, exist_ok=True)
 
-    lim = np.percentile(np.abs(pos[..., :2]), 99.5) * 1.1
+    u0, v0 = project(pos[..., 0].ravel(), pos[..., 1].ravel(),
+                     pos[..., 2].ravel(), args.azim, args.elev)
+    lim = np.percentile(np.abs(np.concatenate([u0, v0])), 99.5) * 1.1
     paths = []
     for f in range(len(idx)):
         if f > 0:
@@ -49,8 +54,9 @@ def main() -> int:
             colors = np.full((pos.shape[1], 3), (0.0, 0.5, 0.8))
         fig = plt.figure(figsize=(8, 6), dpi=100, facecolor="black")
         ax = fig.add_subplot(111, facecolor="black")
-        ax.scatter(pos[f][:, 0], pos[f][:, 1], s=args.size, c=colors,
-                   linewidths=0)
+        u, v = project(pos[f][:, 0], pos[f][:, 1], pos[f][:, 2],
+                       args.azim, args.elev)
+        ax.scatter(u, v, s=args.size, c=colors, linewidths=0)
         ax.set_xlim(-lim, lim)
         ax.set_ylim(-lim, lim)
         ax.set_axis_off()
