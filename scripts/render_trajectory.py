@@ -41,9 +41,10 @@ def main() -> int:
     idx, pos = read_trajectory(args.traj)
     os.makedirs(args.outdir, exist_ok=True)
 
-    u0, v0 = project(pos[..., 0].ravel(), pos[..., 1].ravel(),
-                     pos[..., 2].ravel(), args.azim, args.elev)
-    lim = np.percentile(np.abs(np.concatenate([u0, v0])), 99.5) * 1.1
+    # project the whole trajectory once; reuse per frame
+    su_all, sv_all = project(pos[..., 0], pos[..., 1], pos[..., 2],
+                             args.azim, args.elev)
+    lim = np.percentile(np.abs(np.stack([su_all, sv_all])), 99.5) * 1.1
     paths = []
     for f in range(len(idx)):
         if f > 0:
@@ -54,9 +55,7 @@ def main() -> int:
             colors = np.full((pos.shape[1], 3), (0.0, 0.5, 0.8))
         fig = plt.figure(figsize=(8, 6), dpi=100, facecolor="black")
         ax = fig.add_subplot(111, facecolor="black")
-        u, v = project(pos[f][:, 0], pos[f][:, 1], pos[f][:, 2],
-                       args.azim, args.elev)
-        ax.scatter(u, v, s=args.size, c=colors, linewidths=0)
+        ax.scatter(su_all[f], sv_all[f], s=args.size, c=colors, linewidths=0)
         ax.set_xlim(-lim, lim)
         ax.set_ylim(-lim, lim)
         ax.set_axis_off()

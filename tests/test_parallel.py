@@ -54,6 +54,35 @@ def test_shard_proxy_equals_single_chip_proxy(n_devices):
         assert_within_rel(db[c], da[c], 1e-4, f"shard proxy {c}")
 
 
+def test_shard_proxy_heavy_on_nonzero_shard(n_devices):
+    """The heavy body's exact correction must work wherever it lives: move
+    the galaxy's central mass out of shard 0 into a later shard's block.
+    (ShardedEngine repads 1024 bodies to 2048 on an 8-device mesh, so the
+    highest shards hold only ghosts; the last *populated* shard owns the
+    swap target.)"""
+    import dataclasses
+
+    bodies = SCHEMES["galaxy"](1024, 3)
+    j = bodies.n - 100           # a real body in the last populated block
+    fields = {}
+    for k in ("m", "r", "qx", "qy", "qz", "vx", "vy", "vz"):
+        a = getattr(bodies, k)
+        a0, aj = a[0], a[j]
+        fields[k] = a.at[0].set(aj).at[j].set(a0)
+    swapped = dataclasses.replace(bodies, **fields)
+
+    ref = create_engine("cpu+naive", swapped, soft=SOFT, dt=DT)
+    tgt = create_engine("shard+proxy", swapped, soft=SOFT, dt=DT,
+                        shards=n_devices)
+    assert tgt.mode == "proxy"
+    for i in range(2):
+        ref.compute_one_iteration()
+        tgt.compute_one_iteration()
+        a, b = ref.bodies.unpadded(), tgt.bodies.unpadded()
+        for c in ("qx", "qy", "qz"):
+            assert_within_rel(b[c], a[c], 2e-3, f"heavy-swap iter {i} {c}")
+
+
 def test_shard_proxy_falls_back_to_ring_on_large_box(n_devices):
     bodies = SCHEMES["random"](1000, 1)   # box too large for m <= 24
     e = create_engine("shard+proxy", bodies, soft=SOFT, dt=DT,
