@@ -16,15 +16,28 @@ from murb_tpu import G
 
 
 def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
-                              out_dtype=jnp.float32) -> jax.Array:
+                              out_dtype=jnp.float32,
+                              method: str = "exact",
+                              proxy_m: int = 16) -> jax.Array:
     """PE_i = -m_i * sum_j Gm_j * rsqrt(|r_ij|^2 + eps^2), self-term removed.
 
     Mirrors the reference's tile sweep which includes j == i and then
     compensates with ``+ m_i*Gm_i*rsqrt(eps^2)`` (ref:
     SimulationNBodyCUDAPropertyTracking.cu:271-302).  Chunked over i to keep
     memory O(chunk * N).
+
+    ``method="proxy"`` computes the sweep via the Chebyshev proxy in
+    O(N*m^3) (same validity rules as the force solver -- caller picks
+    ``proxy_m`` from the box).
     """
     npad = qx.shape[0]
+    if method == "proxy":
+        from murb_tpu.ops.proxy import potential_proxy
+
+        sweep = potential_proxy(qx, qy, qz, gm, soft, m=proxy_m).astype(out_dtype)
+        soft2 = jnp.asarray(soft, qx.dtype) ** 2
+        self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
+        return -m.astype(out_dtype) * (sweep - self_term)
     chunk = min(chunk, npad)
     if npad % chunk != 0:
         from murb_tpu.ops.common import pick_block
@@ -54,14 +67,15 @@ def kinetic_energy_per_body(m, vx, vy, vz, out_dtype=jnp.float32) -> jax.Array:
     return m.astype(out_dtype) * v2
 
 
-def total_energy(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32):
+def total_energy(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
+                 method: str = "exact", proxy_m: int = 16):
     """E = sum_i (PE_i/2 + KE_i/2) with KE_i = m_i |v_i|^2 (the reference halves
     both: PE for double counting, KE for the 1/2 m v^2 factor, ref:
     SimulationNBodyCUDAPropertyTracking.cu:296-302)."""
     pe = potential_energy_per_body(
         state.qx, state.qy, state.qz, state.m,
         jnp.asarray(G, state.dtype) * state.m, soft,
-        chunk=chunk, out_dtype=out_dtype,
+        chunk=chunk, out_dtype=out_dtype, method=method, proxy_m=proxy_m,
     )
     ke = kinetic_energy_per_body(state.m, state.vx, state.vy, state.vz, out_dtype)
     half = jnp.asarray(0.5, out_dtype)
@@ -100,7 +114,7 @@ def density_center(state, out_dtype=jnp.float32):
 
 
 def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
-                mask=None):
+                mask=None, method: str = "exact", proxy_m: int = 16):
     """(energy, angular momentum, density center) fused in one jitted call --
     the analogue of COMPUTE_ALL_METRIC (ref:
     SimulationNBodyCUDAPropertyTracking.cu:4-7).
@@ -115,7 +129,8 @@ def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
 
         state = dataclasses.replace(state, m=state.m * mask.astype(state.dtype))
     return (
-        total_energy(state, soft, chunk=chunk, out_dtype=out_dtype),
+        total_energy(state, soft, chunk=chunk, out_dtype=out_dtype,
+                     method=method, proxy_m=proxy_m),
         angular_momentum(state, out_dtype),
         density_center(state, out_dtype),
     )

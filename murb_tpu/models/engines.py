@@ -367,7 +367,8 @@ class TrackingEngine(EulerAccelEngine):
 
     def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
                  history: SimulationHistory | None = None, acc_fn=None,
-                 metric_dtype=jnp.float32, **kw):
+                 metric_dtype=jnp.float32, metrics_method: str = "exact",
+                 metrics_proxy_m: int = 16, **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -379,6 +380,8 @@ class TrackingEngine(EulerAccelEngine):
             self.history.set_num_iterations(num_iterations)
         self._acc = acc_fn
         self._metric_dtype = metric_dtype
+        self._metrics_method = metrics_method
+        self._metrics_proxy_m = metrics_proxy_m
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):
@@ -387,7 +390,8 @@ class TrackingEngine(EulerAccelEngine):
 
     def _metrics(self, state):
         return metrics_mod.all_metrics(
-            state, self.soft, out_dtype=self._metric_dtype
+            state, self.soft, out_dtype=self._metric_dtype,
+            method=self._metrics_method, proxy_m=self._metrics_proxy_m,
         )
 
     def _make_tracked_step(self):

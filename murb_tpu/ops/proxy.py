@@ -171,6 +171,89 @@ def node_sweep(px, py, pz, w, soft) -> Accel:
     return Accel(ax.reshape(-1)[:p], ay.reshape(-1)[:p], az.reshape(-1)[:p])
 
 
+def potential_node_sweep(px, py, pz, w, soft):
+    """phi_u = sum_v w_v * rsqrt(|p_u - p_v|^2 + eps^2) over proxy nodes."""
+    dtype = px.dtype
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    p = px.shape[0]
+    chunk = min(2048, p)
+    nchunks = -(-p // chunk)
+    pad = nchunks * chunk - p
+    pads = lambda a: jnp.pad(a, (0, pad))
+    qxi = pads(px).reshape(nchunks, chunk)
+    qyi = pads(py).reshape(nchunks, chunk)
+    qzi = pads(pz).reshape(nchunks, chunk)
+
+    def one(args):
+        cx, cy, cz = args
+        dx = px[None, :] - cx[:, None]
+        dy = py[None, :] - cy[:, None]
+        dz = pz[None, :] - cz[:, None]
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + soft2)
+        return jnp.sum(w[None, :] * inv, axis=1)
+
+    phi = jax.lax.map(one, (qxi, qyi, qzi))
+    return phi.reshape(-1)[:p]
+
+
+def l2p_scalar(sx, syz, phi, m: int):
+    """Interpolate a scalar node field back to the bodies -> (n,)."""
+    fgrid = phi.reshape(m, m * m)
+    partial = jnp.einsum(
+        "ju,up->jp", sx, fgrid, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.sum(syz * partial, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor")
+)
+def potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
+                    heavy_factor: float = 100.0):
+    """phi_i = sum_j Gm_j * rsqrt(|r_ij|^2 + eps^2) via the Chebyshev proxy
+    (includes the j == i self term, exactly like the reference's tile sweep
+    -- callers compensate with Gm_i/eps, ref:
+    SimulationNBodyCUDAPropertyTracking.cu:296-302).
+
+    Turns the O(N^2) energy-tracking sweep into O(N*m^3): tracked metrics
+    scale like the proxy force solver.
+    """
+    dtype = qx.dtype
+    n = qx.shape[0]
+    gm_pos = gm > 0
+
+    c, h = bounding_box(qx, qy, qz, gm_pos)
+    k = max(min(heavy_k, n), 1)
+    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
+    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
+        qx, qy, qz, gm, k, heavy_factor, mean_gm
+    )
+
+    sx, syz = bases(qx, qy, qz, c, h, m)
+    w = p2m(sx, syz, gm_eff, m)
+    px, py, pz = proxy_nodes(c, h, m, dtype)
+    phi_nodes = potential_node_sweep(px, py, pz, w, soft)
+    phi = l2p_scalar(sx, syz, phi_nodes, m)
+
+    # heavy sources exactly
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    hqx, hqy, hqz = hq
+    dx = hqx[None, :] - qx[:, None]
+    dy = hqy[None, :] - qy[:, None]
+    dz = hqz[None, :] - qz[:, None]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + soft2)
+    phi = phi + jnp.sum(heavy_gm[None, :] * inv, axis=1)
+
+    # heavy targets exactly (their proxy phi has the largest interp error)
+    dxh = qx[None, :] - hqx[:, None]
+    dyh = qy[None, :] - hqy[:, None]
+    dzh = qz[None, :] - hqz[:, None]
+    invh = jax.lax.rsqrt(dxh * dxh + dyh * dyh + dzh * dzh + soft2)
+    phi_h = jnp.sum(gm[None, :] * invh, axis=1)
+    phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
+    return phi
+
+
 def l2p(sx, syz, f: Accel, m: int):
     """a (n, 3): interpolate node forces back to the bodies."""
     fstack = jnp.stack([f.ax, f.ay, f.az], axis=1).reshape(m, m * m, 3)

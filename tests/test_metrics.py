@@ -86,3 +86,25 @@ def test_tracking_scan_run_matches_stepwise():
                                rtol=1e-5)
     np.testing.assert_allclose(b.history.density_centers,
                                a.history.density_centers, rtol=1e-4)
+
+
+def test_proxy_energy_matches_exact():
+    """O(N*m^3) proxy potential vs the exact O(N^2) sweep (galaxy box)."""
+    s = SCHEMES["galaxy"](2048, 5)
+    e_exact = float(metrics.total_energy(s, SOFT, out_dtype=np.float64))
+    e_proxy = float(metrics.total_energy(s, SOFT, out_dtype=np.float64,
+                                         method="proxy", proxy_m=16))
+    np.testing.assert_allclose(e_proxy, e_exact, rtol=1e-4)
+
+
+def test_tracking_engine_proxy_metrics():
+    iters = 3
+    bodies = SCHEMES["galaxy"](512, 7)
+    a = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    b = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, metrics_method="proxy")
+    a.run(iters)
+    b.run(iters)
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-3)
