@@ -65,8 +65,10 @@ def build_engine(cfg: MurbConfig):
         from murb_tpu.core.init import milkyway_andromeda_masks
 
         extra["masks"] = milkyway_andromeda_masks(bodies.npad, bodies.n)
-    if canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
-                     "tpu+kdk"):
+    if canonical == "tpu+tracking" and cfg.kernel == "proxy":
+        extra["fused_proxy_m"] = 16  # fused force+potential proxy step
+    elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
+                       "tpu+kdk"):
         from murb_tpu.ops import make_acc_fn
 
         extra["acc_fn"] = make_acc_fn(

@@ -113,6 +113,20 @@ def density_center(state, out_dtype=jnp.float32):
     ])
 
 
+def energy_from_phi(state, phi, soft, out_dtype=jnp.float32):
+    """Total energy given a precomputed potential sweep phi_i = sum_j Gm_j *
+    rsqrt(d^2+eps^2) (self term included; compensated here exactly like the
+    reference kernel).  Used by the fused proxy tracking path."""
+    gm = jnp.asarray(G, state.dtype) * state.m
+    soft2 = jnp.asarray(soft, state.dtype) ** 2
+    self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
+    pe = -state.m.astype(out_dtype) * (phi.astype(out_dtype) - self_term)
+    ke = kinetic_energy_per_body(state.m, state.vx, state.vy, state.vz,
+                                 out_dtype)
+    half = jnp.asarray(0.5, out_dtype)
+    return jnp.sum(pe * half + ke * half)
+
+
 def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
                 mask=None, method: str = "exact", proxy_m: int = 16):
     """(energy, angular momentum, density center) fused in one jitted call --

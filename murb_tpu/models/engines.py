@@ -368,7 +368,7 @@ class TrackingEngine(EulerAccelEngine):
     def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=jnp.float32, metrics_method: str = "exact",
-                 metrics_proxy_m: int = 16, **kw):
+                 metrics_proxy_m: int = 16, fused_proxy_m: int = 0, **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -382,6 +382,7 @@ class TrackingEngine(EulerAccelEngine):
         self._metric_dtype = metric_dtype
         self._metrics_method = metrics_method
         self._metrics_proxy_m = metrics_proxy_m
+        self._fused_proxy_m = fused_proxy_m
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):
@@ -394,14 +395,34 @@ class TrackingEngine(EulerAccelEngine):
             method=self._metrics_method, proxy_m=self._metrics_proxy_m,
         )
 
-    def _make_tracked_step(self):
+    def _step_with_metrics(self, state):
+        """(new_state, acc, metrics): metrics are evaluated at the
+        PRE-update state, matching the reference's iteration structure
+        (acceleration -> metrics -> update, ref:
+        SimulationNBodyCUDAPropertyTracking.cu:121-133)."""
         dt = self._dt
+        if self._fused_proxy_m:
+            from murb_tpu.ops.proxy import force_and_potential_proxy
 
+            acc, phi = force_and_potential_proxy(
+                state.qx, state.qy, state.qz, self._gm(state), self.soft,
+                m=self._fused_proxy_m,
+            )
+            mets = (
+                metrics_mod.energy_from_phi(state, phi, self.soft,
+                                            self._metric_dtype),
+                metrics_mod.angular_momentum(state, self._metric_dtype),
+                metrics_mod.density_center(state, self._metric_dtype),
+            )
+        else:
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            mets = self._metrics(state)
+        return euler_update(state, acc, dt), acc, mets
+
+    def _make_tracked_step(self):
         @partial(jax.jit, donate_argnums=0)
         def step(state):
-            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
-            new_state = euler_update(state, acc, dt)
-            return new_state, acc, self._metrics(new_state)
+            return self._step_with_metrics(state)
 
         return step
 
@@ -419,12 +440,10 @@ class TrackingEngine(EulerAccelEngine):
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-        dt = self._dt
 
         def step1(state, _):
-            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
-            new_state = euler_update(state, acc, dt)
-            return new_state, self._metrics(new_state)
+            new_state, _acc, mets = self._step_with_metrics(state)
+            return new_state, mets
 
         @partial(jax.jit, donate_argnums=0, static_argnums=1)
         def run_scan(state, n):
@@ -502,12 +521,10 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-        dt = self._dt
 
         def step1(state, _):
-            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
-            new_state = euler_update(state, acc, dt)
-            return new_state, self._metrics(new_state)
+            new_state, _acc, mets = self._step_with_metrics(state)
+            return new_state, mets
 
         @partial(jax.jit, donate_argnums=0, static_argnums=1)
         def run_scan(state, n):

@@ -108,3 +108,22 @@ def test_tracking_engine_proxy_metrics():
     b.run(iters)
     np.testing.assert_allclose(b.history.energies, a.history.energies,
                                rtol=1e-3)
+
+
+def test_tracking_fused_proxy_matches_separate():
+    """Fused force+potential proxy step == separate proxy force/metrics."""
+    from murb_tpu.ops import make_acc_fn
+
+    iters = 3
+    bodies = SCHEMES["galaxy"](1024, 9)
+    a = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, acc_fn=make_acc_fn("proxy", m=16),
+                      metrics_method="proxy", metrics_proxy_m=16)
+    b = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, fused_proxy_m=16)
+    a.run(iters)
+    b.run(iters)
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-5)
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    np.testing.assert_allclose(db["qx"], da["qx"], rtol=1e-5)
