@@ -240,6 +240,17 @@ def main(argv=None) -> int:
         f"({perf_total.get_fps(n_done):g} FPS{gflops})"
     )
 
+    if hasattr(engine, "proxy_health"):
+        health = engine.proxy_health()
+        if not health["ok"]:
+            print(
+                f"WARNING: system expanded beyond the proxy design margin "
+                f"(order m={health['m']}, now requires "
+                f"m={health['required_m_now']}); forces in late iterations "
+                f"are less accurate -- rerun with --im tpu+hybrid for exact "
+                f"forces, or resume from a checkpoint with a fresh engine."
+            )
+
     if cfg.csv and hasattr(engine, "history"):
         if hasattr(engine, "finalize_history"):
             engine.finalize_history()

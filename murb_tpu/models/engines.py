@@ -207,6 +207,27 @@ class ProxyEngine(EulerAccelEngine):
         return acc_proxy(qx, qy, qz, gm, self.soft, m=self.m,
                          heavy_k=self.heavy_k, cells=self.cells)
 
+    def proxy_health(self) -> dict:
+        """Is the design order still adequate for the CURRENT box?  The
+        order is compiled in; if the system expanded past the design margin
+        this reports the order it would need now (syncs the device)."""
+        from murb_tpu.ops.proxy import required_order
+
+        d = self._state.unpadded()
+        sel = d["m"] > 0
+        half = max(
+            (d[k][sel].max() - d[k][sel].min()) / 2.0
+            for k in ("qx", "qy", "qz")
+        ) if sel.any() else 1.0
+        needed = required_order(half / self.cells, self.soft)
+        return {
+            "using_proxy": self.using_proxy,
+            "m": self.m,
+            "cells": self.cells,
+            "required_m_now": needed,
+            "ok": (not self.using_proxy) or needed <= self.m,
+        }
+
     def _make_step(self):
         if not self.using_proxy:
             return self._fallback._make_step()
