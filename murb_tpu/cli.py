@@ -65,15 +65,34 @@ def build_engine(cfg: MurbConfig):
         from murb_tpu.core.init import milkyway_andromeda_masks
 
         extra["masks"] = milkyway_andromeda_masks(bodies.npad, bodies.n)
-    if canonical == "tpu+tracking" and cfg.kernel == "proxy":
-        extra["fused_proxy_m"] = 16  # fused force+potential proxy step
+    kernel = cfg.kernel
+    proxy_m = 0
+    if kernel == "proxy":
+        # The proxy order must cover the box; unlike --im tpu+proxy (which
+        # checks and falls back itself) the wrapper engines take a raw
+        # kernel, so validate here.
+        from murb_tpu.ops.proxy import required_order
+
+        d = bodies.unpadded()
+        sel = d["m"] > 0
+        half = max(
+            (d[k][sel].max() - d[k][sel].min()) / 2.0
+            for k in ("qx", "qy", "qz")
+        ) if sel.any() else 1.0
+        proxy_m = (required_order(half * 1.5, cfg.softening) + 3) // 4 * 4
+        if proxy_m > 32:
+            print(f"NOTE: box too large for the proxy kernel "
+                  f"(needs m={proxy_m} > 32); using the exact kernel.")
+            kernel = "auto"
+    if canonical == "tpu+tracking" and kernel == "proxy":
+        extra["fused_proxy_m"] = proxy_m  # fused force+potential proxy step
     elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
                        "tpu+kdk"):
         from murb_tpu.ops import make_acc_fn
 
         extra["acc_fn"] = make_acc_fn(
-            cfg.kernel, block_i=cfg.block_i, block_j=cfg.block_j,
-            chunk=cfg.chunk,
+            kernel, block_i=cfg.block_i, block_j=cfg.block_j,
+            chunk=cfg.chunk, m=proxy_m or 16,
         )
     return create_engine(
         cfg.impl_tag, bodies,
@@ -154,20 +173,24 @@ def main(argv=None) -> int:
             d = engine.bodies.unpadded()
             traj.append(i_ite, d["qx"], d["qy"], d["qz"])
 
-    if cfg.scan:
+    if cfg.scan and cfg.n_iterations > 0:
         # One device dispatch for the whole run (no per-iteration timing).
         # Warm up with a single iteration so the timed section excludes the
-        # XLA compile (the compiled program is length-agnostic).
-        engine.run(1)
-        engine.block_until_ready()
-        timed = max(cfg.n_iterations - 1, 0)
+        # XLA compile (the compiled program is length-agnostic).  With a
+        # single requested iteration there is nothing to warm with, so that
+        # iteration itself is timed (including its compile).
+        warm = 1 if cfg.n_iterations > 1 else 0
+        if warm:
+            engine.run(warm)
+            engine.block_until_ready()
+        timed = cfg.n_iterations - warm
         perf_total.start()
         if traj is None:
             engine.run(timed)
         else:
             # advance in segments that land exactly on the record points
             every = max(cfg.dump_every, 1)
-            current = 1
+            current = warm
             for target in range(every, cfg.n_iterations + 1, every):
                 if target > current:
                     engine.run(target - current)
@@ -177,10 +200,12 @@ def main(argv=None) -> int:
                 engine.run(cfg.n_iterations - current)
         engine.block_until_ready()
         perf_total.stop()
-        n_done = timed or 1
+        n_done = timed
         physic_time = cfg.n_iterations * engine.dt
         if cfg.check_finite:
             engine.assert_finite()
+    elif cfg.scan:
+        pass  # -i 0: nothing to run
     else:
         chunk = max(cfg.ite_chunk, 1)
         i_ite = 0

@@ -114,6 +114,12 @@ class MultiGalaxySimulationHistory(SimulationHistory):
         return self.galaxies[i]
 
     def update_global_properties(self) -> None:
+        """Recompute the global series as the sum over galaxies.  Idempotent
+        (the global arrays are reset first), so calling it twice -- e.g. once
+        to inspect and once from the CLI CSV export -- is safe."""
+        self.energies[:] = 0.0
+        self.ang_momentums[:] = 0.0
+        self.density_centers[:] = 0.0
         for gal in self.galaxies:
             self.energies += gal.energies
             self.ang_momentums += gal.ang_momentums

@@ -41,6 +41,13 @@ class SimulationEngine:
         dt: float = DEFAULT_DT,
         **kwargs,
     ):
+        if kwargs:
+            # Fail loudly on misspelled engine options rather than silently
+            # running with defaults (the reference CLI errors likewise).
+            raise TypeError(
+                f"unknown engine option(s): {sorted(kwargs)} for "
+                f"{type(self).__name__}"
+            )
         # Private copy: steps donate their input buffers, and donation must
         # never invalidate a BodyState the caller still holds (differential
         # tests feed the same initial state to two engines).
@@ -78,6 +85,11 @@ class SimulationEngine:
         """Accelerations from the last iteration (test accessor, the analogue
         of ``getAccSoA()``, ref: SimulationNBodyNaive.hpp)."""
         if self._last_acc is None:
+            if self._iteration > 0:
+                raise RuntimeError(
+                    "accelerations are not materialized on the run() fast "
+                    "path; call compute_one_iteration() to observe them"
+                )
             raise RuntimeError("no iteration computed yet")
         return self._last_acc
 

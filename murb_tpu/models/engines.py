@@ -158,7 +158,15 @@ class ProxyEngine(EulerAccelEngine):
     def __init__(self, bodies, soft=None, dt=None, *, m: int = 0,
                  cells: int = 0, tol: float = 1e-4, max_m: int = 32,
                  heavy_k: int = 1, box_margin: float = 1.5, **kw):
-        super().__init__(bodies, soft, dt, **kw)
+        kwargs = {}
+        if soft is not None:
+            kwargs["soft"] = soft
+        if dt is not None:
+            kwargs["dt"] = dt
+        # wide blocks for the exact-kernel fallback path
+        if bodies.npad >= 8192:
+            bodies = bodies.repad(2048)
+        SimulationEngine.__init__(self, bodies, **kwargs, **kw)
         from murb_tpu.ops.proxy import required_order
 
         round4 = lambda x: (x + 3) // 4 * 4
@@ -186,7 +194,7 @@ class ProxyEngine(EulerAccelEngine):
         self.cells = int(cells or 1)
         self.heavy_k = heavy_k
         self.using_proxy = self.m <= max_m
-        if auto and self.using_proxy:
+        if auto and self.using_proxy:  # noqa: SIM102
             # Cost model: the proxy must not be drastically costlier than
             # the exact sweep (at small N the node sweep dominates).  Rough
             # op counts; the generous slack keeps the reference's small
@@ -198,10 +206,13 @@ class ProxyEngine(EulerAccelEngine):
             est_direct = 14 * n * n
             if est_proxy > 30 * est_direct:
                 self.using_proxy = False
-        if not self.using_proxy:
-            self._fallback = HybridEngine(bodies, soft, dt, **kw)
 
     def _acc_fn(self, qx, qy, qz, gm):
+        if not self.using_proxy:
+            # exact-kernel fallback (state already repadded for wide blocks)
+            from murb_tpu.ops.hybrid import acc_hybrid
+
+            return acc_hybrid(qx, qy, qz, gm, self.soft, passes=2)
         from murb_tpu.ops.proxy import acc_proxy
 
         return acc_proxy(qx, qy, qz, gm, self.soft, m=self.m,
@@ -228,15 +239,6 @@ class ProxyEngine(EulerAccelEngine):
             "ok": (not self.using_proxy) or needed <= self.m,
         }
 
-    def _make_step(self):
-        if not self.using_proxy:
-            return self._fallback._make_step()
-        return super()._make_step()
-
-    def _make_loop_run(self):
-        if not self.using_proxy:
-            return self._fallback._make_loop_run()
-        return super()._make_loop_run()
 
 
 class KDKEngine(SimulationEngine):
@@ -458,19 +460,28 @@ class TrackingEngine(EulerAccelEngine):
             self.history.set_density_center_at(i, jax.device_get(dc))
         self._iteration += 1
 
+    def _tracked_run_scan(self):
+        """One jitted scan callable reused across run() calls (jax caches
+        compilation per distinct static length)."""
+        fn = self._run_cache.get("tracked_scan")
+        if fn is None:
+            def step1(state, _):
+                new_state, _acc, mets = self._step_with_metrics(state)
+                return new_state, mets
+
+            @partial(jax.jit, donate_argnums=0, static_argnums=1)
+            def run_scan(state, n):
+                return jax.lax.scan(step1, state, length=n)
+
+            fn = self._run_cache["tracked_scan"] = run_scan
+        return fn
+
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-
-        def step1(state, _):
-            new_state, _acc, mets = self._step_with_metrics(state)
-            return new_state, mets
-
-        @partial(jax.jit, donate_argnums=0, static_argnums=1)
-        def run_scan(state, n):
-            return jax.lax.scan(step1, state, length=n)
-
-        self._state, (es, ls, dcs) = run_scan(self._state, n_iterations)
+        self._state, (es, ls, dcs) = self._tracked_run_scan()(
+            self._state, n_iterations
+        )
         es, ls, dcs = jax.device_get((es, ls, dcs))
         i0 = self._iteration
         hi = self.history.num_iterations
@@ -500,6 +511,11 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
                  masks, **kw):
         from murb_tpu.core.history import MultiGalaxySimulationHistory
 
+        if kw.get("fused_proxy_m"):
+            raise ValueError(
+                "fused_proxy_m is not supported with per-galaxy masks; use "
+                "metrics_method='proxy' for fast masked metrics instead"
+            )
         history = MultiGalaxySimulationHistory(
             num_iterations, num_galaxies=len(masks)
         )
@@ -542,16 +558,9 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-
-        def step1(state, _):
-            new_state, _acc, mets = self._step_with_metrics(state)
-            return new_state, mets
-
-        @partial(jax.jit, donate_argnums=0, static_argnums=1)
-        def run_scan(state, n):
-            return jax.lax.scan(step1, state, length=n)
-
-        self._state, (es, ls, dcs) = run_scan(self._state, n_iterations)
+        self._state, (es, ls, dcs) = self._tracked_run_scan()(
+            self._state, n_iterations
+        )
         es, ls, dcs = jax.device_get((es, ls, dcs))
         for k in range(n_iterations):
             self._record(self._iteration + k, es[k], ls[k], dcs[k])

@@ -52,7 +52,9 @@ def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,
     dy = qyj[...] - qyi[...]
     dz = qzj[...] - qzi[...]
     d2 = (dx * dx + soft2) + dy * dy + dz * dz
-    inv = jax.lax.rsqrt(d2)
+    # rsqrt must run in fp32: Mosaic has no bf16 rsqrt (backend abort), and
+    # the Dekker split below needs fp32 headroom anyway.
+    inv = jax.lax.rsqrt(d2.astype(jnp.float32))
     w32 = inv * inv * inv
 
     def dot_p(w):

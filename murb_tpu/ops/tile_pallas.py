@@ -44,7 +44,8 @@ def _tile_kernel(qxi, qyi, qzi, qxj, qyj, qzj, gmj, ax, ay, az, *, soft2):
     dz = qzj[...] - qzi[...]
 
     d2 = dx * dx + dy * dy + dz * dz + soft2
-    inv = jax.lax.rsqrt(d2)
+    # fp32 rsqrt: Mosaic has no bf16 rsqrt (backend abort on bf16 state)
+    inv = jax.lax.rsqrt(d2.astype(jnp.float32))
     w = gmj[...] * (inv * inv * inv)  # (1, BJ) * (BI, BJ)
 
     pax = jnp.sum(w * dx, axis=1, keepdims=True)   # (BI, 1)
@@ -89,7 +90,7 @@ def acc_tile_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     ospec = pl.BlockSpec((bi, 1), lambda i, j: (i, 0))
 
     grid = (ni // bi, nj // bj)
-    out_shape = [jax.ShapeDtypeStruct((ni, 1), dtype)] * 3
+    out_shape = [jax.ShapeDtypeStruct((ni, 1), jnp.float32)] * 3
 
     kernel = functools.partial(_tile_kernel, soft2=soft2)
     ax, ay, az = pl.pallas_call(
@@ -109,7 +110,8 @@ def acc_tile_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
         interpret=interpret,
     )(col(qxi), col(qyi), col(qzi), row(qxj), row(qyj), row(qzj), row(gmj))
 
-    return Accel(ax.reshape(ni), ay.reshape(ni), az.reshape(ni))
+    return Accel(ax.reshape(ni).astype(dtype), ay.reshape(ni).astype(dtype),
+                 az.reshape(ni).astype(dtype))
 
 
 def acc_tile(qx, qy, qz, gm, soft, *, block_i: int = 0, block_j: int = 0,

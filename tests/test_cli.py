@@ -112,3 +112,18 @@ def test_make_acc_fn_registry():
                           f"kernel {name}", rms_floor=1e-2)
     with _pytest.raises(ValueError, match="unknown kernel"):
         make_acc_fn("nope")
+
+
+def test_cli_scan_single_iteration(capsys):
+    rc = main(["-n", "300", "-i", "1", "--im", "cpu+optim", "--nv", "--scan"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Simulation ended." in out
+
+
+def test_cli_kernel_proxy_validity_fallback(capsys):
+    """--kernel proxy on a wide-box scheme must not silently use m=16."""
+    rc = main(["-n", "300", "-i", "1", "--im", "gpu+tracking", "--nv",
+               "-s", "random", "--kernel", "proxy"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "using the exact kernel" in out

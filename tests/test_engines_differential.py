@@ -97,3 +97,28 @@ def test_unknown_tag_raises():
     bodies = SCHEMES["random"](256, 1)
     with pytest.raises(ValueError, match="does not exist"):
         create_engine("gpu+doesnotexist", bodies)
+
+
+def test_proxy_engine_default_soft_dt():
+    """ProxyEngine must work with the interface defaults (regression:
+    None soft/dt used to reach float())."""
+    bodies = SCHEMES["galaxy"](512, 1)
+    e = create_engine("tpu+proxy", bodies)
+    e.compute_one_iteration()
+    assert e.soft == 2.0e8 and e.dt == 3600.0
+
+
+def test_unknown_engine_option_raises():
+    from murb_tpu.models.engines import HybridEngine
+
+    bodies = SCHEMES["random"](256, 1)
+    with pytest.raises(TypeError, match="unknown engine option"):
+        HybridEngine(bodies, pases=1)
+
+
+def test_accelerations_message_after_fast_run():
+    bodies = SCHEMES["random"](256, 1)
+    e = create_engine("xla+chunked", bodies)
+    e.run(2)
+    with pytest.raises(RuntimeError, match="not materialized"):
+        _ = e.accelerations

@@ -59,3 +59,23 @@ def test_mw_andromeda_masks_partition():
     both = mw + andromeda
     assert np.all(both[:n] == 1.0)      # every real body in exactly one galaxy
     assert np.all(both[n:] == 0.0)      # ghosts in neither
+
+
+def test_finalize_history_idempotent():
+    bodies = SCHEMES["random"](512, 3)
+    e = create_engine("tpu+tracking+multi", bodies, num_iterations=2,
+                      masks=_half_masks(bodies.npad, bodies.n))
+    e.run(2)
+    h1 = e.finalize_history().energies.copy()
+    h2 = e.finalize_history().energies.copy()
+    np.testing.assert_array_equal(h1, h2)
+
+
+def test_fused_rejected_with_masks():
+    import pytest
+
+    bodies = SCHEMES["random"](512, 3)
+    with pytest.raises(ValueError, match="fused_proxy_m"):
+        create_engine("tpu+tracking+multi", bodies, num_iterations=2,
+                      masks=_half_masks(bodies.npad, bodies.n),
+                      fused_proxy_m=16)
