@@ -71,14 +71,9 @@ def build_engine(cfg: MurbConfig):
         # The proxy order must cover the box; unlike --im tpu+proxy (which
         # checks and falls back itself) the wrapper engines take a raw
         # kernel, so validate here.
-        from murb_tpu.ops.proxy import required_order
+        from murb_tpu.ops.proxy import half_extent, required_order
 
-        d = bodies.unpadded()
-        sel = d["m"] > 0
-        half = max(
-            (d[k][sel].max() - d[k][sel].min()) / 2.0
-            for k in ("qx", "qy", "qz")
-        ) if sel.any() else 1.0
+        half = half_extent(bodies.unpadded())
         proxy_m = (required_order(half * 1.5, cfg.softening) + 3) // 4 * 4
         if proxy_m > 32:
             print(f"NOTE: box too large for the proxy kernel "
@@ -215,6 +210,12 @@ def main(argv=None) -> int:
             visu.refresh_display(engine.bodies, time_s=physic_time)
 
             k = min(chunk, cfg.n_iterations - i_ite)
+            if traj is not None:
+                # land exactly on the next record point so --ite-chunk never
+                # skips a --dump-every frame
+                every = max(cfg.dump_every, 1)
+                to_next = every - (i_ite % every)
+                k = min(k, to_next)
             perf_ite.start()
             if k == 1:
                 engine.compute_one_iteration()
@@ -267,7 +268,7 @@ def main(argv=None) -> int:
 
     if hasattr(engine, "proxy_health"):
         health = engine.proxy_health()
-        if not health["ok"]:
+        if health is not None and not health["ok"]:
             print(
                 f"WARNING: system expanded beyond the proxy design margin "
                 f"(order m={health['m']}, now requires "

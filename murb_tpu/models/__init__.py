@@ -113,7 +113,7 @@ def _build_registry():
     register(
         "tpu+tracking+multi",
         lambda b, **kw: E.MultiGalaxyTrackingEngine(
-            b, **_filter(kw, "num_iterations", "masks", "acc_fn", "metric_dtype", "fused_proxy_m")
+            b, **_filter(kw, "num_iterations", "masks", "acc_fn", "metric_dtype", "fused_proxy_m", "metrics_method", "metrics_proxy_m")
         ),
         aliases=("gpu+tracking+multi",),
     )

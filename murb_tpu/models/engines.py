@@ -172,15 +172,9 @@ class ProxyEngine(EulerAccelEngine):
         round4 = lambda x: (x + 3) // 4 * 4
         auto = m == 0
         if auto:
-            d = self._state.unpadded()
-            sel = d["m"] > 0
-            if sel.any():
-                half = max(
-                    (d[k][sel].max() - d[k][sel].min()) / 2.0
-                    for k in ("qx", "qy", "qz")
-                )
-            else:
-                half = 1.0
+            from murb_tpu.ops.proxy import half_extent
+
+            half = half_extent(self._state.unpadded())
             # Prefer a single global expansion (box-growth margin applied);
             # fall to the octant (2-level) decomposition for larger boxes
             # (halving the box is itself the margin there).
@@ -222,14 +216,9 @@ class ProxyEngine(EulerAccelEngine):
         """Is the design order still adequate for the CURRENT box?  The
         order is compiled in; if the system expanded past the design margin
         this reports the order it would need now (syncs the device)."""
-        from murb_tpu.ops.proxy import required_order
+        from murb_tpu.ops.proxy import half_extent, required_order
 
-        d = self._state.unpadded()
-        sel = d["m"] > 0
-        half = max(
-            (d[k][sel].max() - d[k][sel].min()) / 2.0
-            for k in ("qx", "qy", "qz")
-        ) if sel.any() else 1.0
+        half = half_extent(self._state.unpadded())
         needed = required_order(half / self.cells, self.soft)
         return {
             "using_proxy": self.using_proxy,
@@ -449,6 +438,23 @@ class TrackingEngine(EulerAccelEngine):
 
         return step
 
+    def proxy_health(self) -> dict | None:
+        """Validity check for the fused proxy path (same contract as
+        ProxyEngine.proxy_health); None when not using the fused proxy."""
+        if not self._fused_proxy_m:
+            return None
+        from murb_tpu.ops.proxy import half_extent, required_order
+
+        half = half_extent(self._state.unpadded())
+        needed = required_order(half, self.soft)
+        return {
+            "using_proxy": True,
+            "m": self._fused_proxy_m,
+            "cells": 1,
+            "required_m_now": needed,
+            "ok": needed <= self._fused_proxy_m,
+        }
+
     def compute_one_iteration(self):
         if self._tracked_step is None:
             self._tracked_step = self._make_tracked_step()
@@ -530,7 +536,9 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
     def _metrics(self, state):
         per_gal = [
             metrics_mod.all_metrics(state, self.soft,
-                                    out_dtype=self._metric_dtype, mask=m)
+                                    out_dtype=self._metric_dtype, mask=m,
+                                    method=self._metrics_method,
+                                    proxy_m=self._metrics_proxy_m)
             for m in self.masks
         ]
         es = jnp.stack([g[0] for g in per_gal])

@@ -48,13 +48,15 @@ def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,
     nj = pl.num_programs(1)
 
     # ---- VPU: softened inverse-cube weights, W[j, i]
-    dx = qxj[...] - qxi[...]            # (BJ,1) - (1,BI) -> (BJ,BI)
-    dy = qyj[...] - qyi[...]
-    dz = qzj[...] - qzi[...]
+    # Compute in fp32 regardless of state dtype: the TPU has no f64 vector
+    # unit and no bf16 rsqrt (backend abort); the Dekker split below needs
+    # fp32 headroom anyway.  The caller casts outputs back.
+    f32 = lambda r: r[...].astype(jnp.float32)
+    dx = f32(qxj) - f32(qxi)            # (BJ,1) - (1,BI) -> (BJ,BI)
+    dy = f32(qyj) - f32(qyi)
+    dz = f32(qzj) - f32(qzi)
     d2 = (dx * dx + soft2) + dy * dy + dz * dz
-    # rsqrt must run in fp32: Mosaic has no bf16 rsqrt (backend abort), and
-    # the Dekker split below needs fp32 headroom anyway.
-    inv = jax.lax.rsqrt(d2.astype(jnp.float32))
+    inv = jax.lax.rsqrt(d2)
     w32 = inv * inv * inv
 
     def dot_p(w):
@@ -84,9 +86,9 @@ def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,
     @pl.when(j == nj - 1)
     def _epilogue():
         sw = acc[3:4, :]
-        axo[...] = acc[0:1, :] - qxi[...] * sw
-        ayo[...] = acc[1:2, :] - qyi[...] * sw
-        azo[...] = acc[2:3, :] - qzi[...] * sw
+        axo[...] = acc[0:1, :] - qxi[...].astype(jnp.float32) * sw
+        ayo[...] = acc[1:2, :] - qyi[...].astype(jnp.float32) * sw
+        azo[...] = acc[2:3, :] - qzi[...].astype(jnp.float32) * sw
 
 
 @functools.partial(

@@ -57,6 +57,19 @@ def required_order(halfwidth: float, soft: float, tol: float = 1e-4,
     return max(int(math.ceil(-math.log(tol) / math.log(rho))) + margin, 4)
 
 
+def half_extent(unpadded: dict) -> float:
+    """Largest per-dimension half-extent of the massive bodies, from a
+    host-side ``BodyState.unpadded()`` dict.  Shared by every call site that
+    picks a Chebyshev order from the initial box."""
+    sel = unpadded["m"] > 0
+    if not sel.any():
+        return 1.0
+    return max(
+        (unpadded[k][sel].max() - unpadded[k][sel].min()) / 2.0
+        for k in ("qx", "qy", "qz")
+    )
+
+
 def _cheb_nodes(m: int) -> np.ndarray:
     k = np.arange(m)
     return np.cos(np.pi * (k + 0.5) / m)  # first-kind nodes in (-1, 1)
@@ -235,21 +248,10 @@ def potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
     phi_nodes = potential_node_sweep(px, py, pz, w, soft)
     phi = l2p_scalar(sx, syz, phi_nodes, m)
 
-    # heavy sources exactly
-    soft2 = jnp.asarray(soft, dtype) ** 2
-    hqx, hqy, hqz = hq
-    dx = hqx[None, :] - qx[:, None]
-    dy = hqy[None, :] - qy[:, None]
-    dz = hqz[None, :] - qz[:, None]
-    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + soft2)
-    phi = phi + jnp.sum(heavy_gm[None, :] * inv, axis=1)
-
-    # heavy targets exactly (their proxy phi has the largest interp error)
-    dxh = qx[None, :] - hqx[:, None]
-    dyh = qy[None, :] - hqy[:, None]
-    dzh = qz[None, :] - hqz[:, None]
-    invh = jax.lax.rsqrt(dxh * dxh + dyh * dyh + dzh * dzh + soft2)
-    phi_h = jnp.sum(gm[None, :] * invh, axis=1)
+    # heavy sources exactly; heavy targets replaced with the exact sweep
+    # (their proxy phi has the largest interpolation error)
+    phi = phi + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
+    phi_h = heavy_target_phi(qx, qy, qz, gm, hq, soft)
     phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
     return phi
 
@@ -289,29 +291,19 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
     acc = l2p(sx, syz, f, m)
     phi = l2p_scalar(sx, syz, phi_nodes, m)
 
-    # heavy sources exactly (shared distance tensors for force + potential)
-    hqx, hqy, hqz = hq
-    dx = hqx[None, :] - qx[:, None]
-    dy = hqy[None, :] - qy[:, None]
-    dz = hqz[None, :] - qz[:, None]
-    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + soft2)
-    wh = heavy_gm[None, :] * (inv * inv * inv)
-    acc = acc + jnp.stack(
-        [jnp.sum(wh * dx, 1), jnp.sum(wh * dy, 1), jnp.sum(wh * dz, 1)], 1
-    )
-    phi = phi + jnp.sum(heavy_gm[None, :] * inv, axis=1)
+    # heavy sources exactly (XLA CSE shares the distance tensors between the
+    # force and potential helpers)
+    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
+    phi = phi + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
 
     # heavy targets exactly
+    hqx, hqy, hqz = hq
     ht = acc_rect(hqx, hqy, hqz, qx, qy, qz, gm, soft)
     ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
     acc = acc.at[top_idx].set(
         jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
     )
-    dxh = qx[None, :] - hqx[:, None]
-    dyh = qy[None, :] - hqy[:, None]
-    dzh = qz[None, :] - hqz[:, None]
-    invh = jax.lax.rsqrt(dxh * dxh + dyh * dyh + dzh * dzh + soft2)
-    phi_h = jnp.sum(gm[None, :] * invh, axis=1)
+    phi_h = heavy_target_phi(qx, qy, qz, gm, hq, soft)
     phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
 
     return Accel(acc[:, 0], acc[:, 1], acc[:, 2]), phi
@@ -345,7 +337,7 @@ def heavy_split(qx, qy, qz, gm, k: int, heavy_factor: float, mean_gm):
 
 
 def heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft):
-    """Exact N x k sweep: contribution of the heavy sources to every body."""
+    """Exact N x k sweep: force contribution of the heavy sources."""
     dtype = qx.dtype
     hqx, hqy, hqz = hq
     dx = hqx[None, :] - qx[:, None]
@@ -357,6 +349,30 @@ def heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft):
     return jnp.stack(
         [jnp.sum(wh * dx, 1), jnp.sum(wh * dy, 1), jnp.sum(wh * dz, 1)], 1
     )
+
+
+def heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft):
+    """Exact N x k sweep: potential contribution of the heavy sources."""
+    dtype = qx.dtype
+    hqx, hqy, hqz = hq
+    dx = hqx[None, :] - qx[:, None]
+    dy = hqy[None, :] - qy[:, None]
+    dz = hqz[None, :] - qz[:, None]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz
+                        + jnp.asarray(soft, dtype) ** 2)
+    return jnp.sum(heavy_gm[None, :] * inv, axis=1)
+
+
+def heavy_target_phi(qx, qy, qz, gm, hq, soft):
+    """Exact k x N sweep: potential AT the heavy bodies."""
+    dtype = qx.dtype
+    hqx, hqy, hqz = hq
+    dx = qx[None, :] - hqx[:, None]
+    dy = qy[None, :] - hqy[:, None]
+    dz = qz[None, :] - hqz[:, None]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz
+                        + jnp.asarray(soft, dtype) ** 2)
+    return jnp.sum(gm[None, :] * inv, axis=1)
 
 
 @functools.partial(
@@ -427,9 +443,10 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
         return (mx & my & mz).astype(dtype)
 
     # P2M per octant -> concatenated weights + node coords, one exact sweep
-    ws, pxs, pys, pzs = [], [], [], []
+    ws, pxs, pys, pzs, octant_bases = [], [], [], [], []
     for co in octants:
         sx, syz = bases(qx, qy, qz, co, half, m)
+        octant_bases.append((sx, syz))
         ws.append(p2m(sx, syz, gm_eff * member(co), m))
         px, py, pz = proxy_nodes(co, half, m, dtype)
         pxs.append(px)
@@ -438,11 +455,11 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
     f = node_sweep(jnp.concatenate(pxs), jnp.concatenate(pys),
                    jnp.concatenate(pzs), jnp.concatenate(ws), soft)
 
-    # L2P: each body reads its own octant's field
+    # L2P: each body reads its own octant's field (bases reused from P2M)
     acc = jnp.zeros((qx.shape[0], 3), dtype)
     p = m * m * m
     for o, co in enumerate(octants):
-        sx, syz = bases(qx, qy, qz, co, half, m)
+        sx, syz = octant_bases[o]
         fo = Accel(f.ax[o * p:(o + 1) * p], f.ay[o * p:(o + 1) * p],
                    f.az[o * p:(o + 1) * p])
         acc = acc + member(co)[:, None] * l2p(sx, syz, fo, m)

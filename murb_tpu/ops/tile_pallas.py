@@ -37,16 +37,20 @@ from murb_tpu.ops.common import Accel, pick_block
 
 
 def _tile_kernel(qxi, qyi, qzi, qxj, qyj, qzj, gmj, ax, ay, az, *, soft2):
+    # Pallas kernels compute in fp32: the TPU has no f64 vector unit and no
+    # bf16 rsqrt (backend abort) -- bf16/f64 state is up/down-cast here and
+    # the caller casts outputs back.  Exact f64 users belong on the jnp
+    # oracle/chunked paths (CPU).
     j = pl.program_id(1)
+    f32 = lambda r: r[...].astype(jnp.float32)
 
-    dx = qxj[...] - qxi[...]          # (1, BJ) - (BI, 1) -> (BI, BJ)
-    dy = qyj[...] - qyi[...]
-    dz = qzj[...] - qzi[...]
+    dx = f32(qxj) - f32(qxi)          # (1, BJ) - (BI, 1) -> (BI, BJ)
+    dy = f32(qyj) - f32(qyi)
+    dz = f32(qzj) - f32(qzi)
 
     d2 = dx * dx + dy * dy + dz * dz + soft2
-    # fp32 rsqrt: Mosaic has no bf16 rsqrt (backend abort on bf16 state)
-    inv = jax.lax.rsqrt(d2.astype(jnp.float32))
-    w = gmj[...] * (inv * inv * inv)  # (1, BJ) * (BI, BJ)
+    inv = jax.lax.rsqrt(d2)
+    w = f32(gmj) * (inv * inv * inv)  # (1, BJ) * (BI, BJ)
 
     pax = jnp.sum(w * dx, axis=1, keepdims=True)   # (BI, 1)
     pay = jnp.sum(w * dy, axis=1, keepdims=True)

@@ -79,3 +79,19 @@ def test_fused_rejected_with_masks():
         create_engine("tpu+tracking+multi", bodies, num_iterations=2,
                       masks=_half_masks(bodies.npad, bodies.n),
                       fused_proxy_m=16)
+
+
+def test_multigalaxy_proxy_metrics_plumbed():
+    """metrics_method='proxy' must actually engage for the multi engine."""
+    bodies = SCHEMES["galaxy"](512, 3)
+    masks = _half_masks(bodies.npad, bodies.n)
+    a = create_engine("tpu+tracking+multi", bodies, num_iterations=2,
+                      masks=masks)
+    b = create_engine("tpu+tracking+multi", bodies, num_iterations=2,
+                      masks=masks, metrics_method="proxy", metrics_proxy_m=16)
+    assert b._metrics_method == "proxy"
+    a.run(2)
+    b.run(2)
+    for g in range(2):
+        np.testing.assert_allclose(b.history.galaxies[g].energies,
+                                   a.history.galaxies[g].energies, rtol=1e-3)

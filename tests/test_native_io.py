@@ -96,3 +96,15 @@ def test_cli_dump_traj(tmp_path, capsys):
     idx, pos = read_trajectory(path)
     assert pos.shape[1] == 300
     assert list(idx) == [2, 4]
+
+
+def test_cli_dump_traj_with_ite_chunk(tmp_path):
+    """--ite-chunk must not skip --dump-every record points."""
+    from murb_tpu.cli import main
+
+    path = str(tmp_path / "chunked.traj")
+    rc = main(["-n", "300", "-i", "6", "--im", "cpu+optim", "--nv",
+               "--dump-traj", path, "--dump-every", "2", "--ite-chunk", "4"])
+    assert rc == 0
+    idx, _pos = read_trajectory(path)
+    assert list(idx) == [2, 4, 6]

@@ -98,3 +98,20 @@ def test_mxu_matches_naive(scheme_seed):
     # norm-expansion path: slightly looser than the direct subtraction
     assert_within_rel(np.asarray(b.ax), np.asarray(a.ax), 5e-4, "mxu ax", rms_floor=5e-4)
     assert_within_rel(np.asarray(b.az), np.asarray(a.az), 5e-4, "mxu az", rms_floor=5e-4)
+
+
+def test_pallas_kernels_fp64_state():
+    """fp64 state must not crash the Pallas kernels (they compute in fp32
+    internally; regression for the output-ref dtype mismatch)."""
+    import jax.numpy as jnp
+
+    from murb_tpu.ops.hybrid import acc_hybrid
+    from murb_tpu.ops.tile_pallas import acc_tile
+
+    s = init_random(512, 2).astype(jnp.float64)
+    gm = (np.float64(G) * np.asarray(s.m)).astype(s.m.dtype)
+    ref = acc_naive(s.qx, s.qy, s.qz, jnp.asarray(gm), SOFT)
+    for fn, name in ((acc_tile, "tile"), (acc_hybrid, "hybrid")):
+        got = fn(s.qx, s.qy, s.qz, jnp.asarray(gm), SOFT)
+        assert_within_rel(np.asarray(got.ax), np.asarray(ref.ax), 1e-2,
+                          f"fp64 {name}", rms_floor=1e-2)
