@@ -69,7 +69,7 @@ def main() -> None:
         "vs_baseline_exact": round(to_gflops(fps_exact) / BASELINE_REF_GFLOPS, 3),
         "n_bodies": N,
         "device": str(jax.devices()[0]),
-        "engine": "tpu+proxy m=16 (Chebyshev proxy, max rel force err ~3e-4)"
+        "engine": "tpu+proxy m=16 (Chebyshev proxy, p99 force err ~1e-4)"
                   " / exact = tpu+hybrid (VPU+MXU bf16x2)",
     }))
 

@@ -48,6 +48,11 @@ import numpy as np
 from murb_tpu.ops.common import Accel
 from murb_tpu.ops.naive import acc_rect
 
+# bf16x3 (HIGH) matmul passes: ~2^-21 relative error per product, far below
+# the Chebyshev interpolation error (~1e-5 at m=16), and ~20% faster than
+# the bf16x6 HIGHEST passes on the N*m^3 anterpolation matmuls.
+_EINSUM_PRECISION = jax.lax.Precision.HIGH
+
 
 def required_order(halfwidth: float, soft: float, tol: float = 1e-4,
                    margin: int = 2) -> int:
@@ -86,7 +91,7 @@ def _basis(t, m: int):
     tj_t = jnp.cos(theta[None, :] * j[:, None])                    # (m-1, T)
     s = (1.0 / m) + (2.0 / m) * jnp.einsum(
         "jk,jt->tk", tj_nodes, tj_t,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_EINSUM_PRECISION,
     )
     return s  # (T, m)
 
@@ -121,7 +126,7 @@ def p2m(sx, syz, gm_eff, m: int):
     """W (m^3,): source weights anterpolated to the proxy grid."""
     return jnp.einsum(
         "ju,jp->up", gm_eff[:, None] * sx, syz,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_EINSUM_PRECISION,
     ).reshape(m * m * m)
 
 
@@ -213,7 +218,7 @@ def l2p_scalar(sx, syz, phi, m: int):
     """Interpolate a scalar node field back to the bodies -> (n,)."""
     fgrid = phi.reshape(m, m * m)
     partial = jnp.einsum(
-        "ju,up->jp", sx, fgrid, precision=jax.lax.Precision.HIGHEST,
+        "ju,up->jp", sx, fgrid, precision=_EINSUM_PRECISION,
     )
     return jnp.sum(syz * partial, axis=1)
 
@@ -313,10 +318,10 @@ def l2p(sx, syz, f: Accel, m: int):
     """a (n, 3): interpolate node forces back to the bodies."""
     fstack = jnp.stack([f.ax, f.ay, f.az], axis=1).reshape(m, m * m, 3)
     partial = jnp.einsum(
-        "ju,upc->jpc", sx, fstack, precision=jax.lax.Precision.HIGHEST,
+        "ju,upc->jpc", sx, fstack, precision=_EINSUM_PRECISION,
     )
     return jnp.einsum(
-        "jp,jpc->jc", syz, partial, precision=jax.lax.Precision.HIGHEST,
+        "jp,jpc->jc", syz, partial, precision=_EINSUM_PRECISION,
     )
 
 
