@@ -8,8 +8,9 @@ after preemption (standard practice for TPU-pod jobs).
 
 Format: numpy ``.npz`` with the 8 SoA arrays, ``n``/``padding``, iteration
 counter, dt, softening, and a format version.  ``.npz`` keeps the framework
-dependency-free; orbax integration can layer on top for multi-host async
-checkpointing.
+dependency-free and portable; ``save_state_orbax`` / ``load_state_orbax``
+provide the orbax backend for multi-host / sharded-array checkpointing
+(each host writes its own shards; restore keeps the sharding).
 """
 from __future__ import annotations
 
@@ -37,6 +38,56 @@ def save_state(path: str, state: BodyState, *, iteration: int = 0,
     for k, v in (extra or {}).items():
         payload[f"extra_{k}"] = np.asarray(v)
     np.savez_compressed(path, **payload)
+
+
+def save_state_orbax(path: str, state: BodyState, *, iteration: int = 0,
+                     dt: float = 3600.0, soft: float = 2.0e8) -> None:
+    """Orbax backend: sharding-aware, multi-host-capable checkpointing.
+
+    Writes the state pytree plus metadata into an orbax checkpoint
+    directory.  Sharded arrays are written shard-by-shard (each host its
+    own) and restored with their sharding when possible.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "arrays": {k: getattr(state, k) for k in _ARRAYS},
+        "meta": {
+            "version": FORMAT_VERSION,
+            "n": state.n,
+            "padding": state.padding,
+            "iteration": int(iteration),
+            "dt": float(dt),
+            "soft": float(soft),
+        },
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(path: str) -> tuple[BodyState, dict]:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    meta = dict(payload["meta"])
+    version = int(meta.pop("version"))
+    if version > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path!r} has format version {version}; "
+            f"this build reads <= {FORMAT_VERSION}"
+        )
+    arrays = payload["arrays"]
+    state = BodyState(
+        n=int(meta.pop("n")), padding=int(meta.pop("padding")),
+        **{k: arrays[k] for k in _ARRAYS},
+    )
+    return state, meta
 
 
 def load_state(path: str) -> tuple[BodyState, dict]:

@@ -68,3 +68,16 @@ def test_cli_save_and_load(tmp_path, capsys):
                "--load-state", path])
     out = capsys.readouterr().out
     assert rc == 0 and "Resumed state from" in out
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from murb_tpu.core.checkpoint import load_state_orbax, save_state_orbax
+
+    s = SCHEMES["galaxy"](300, 5)
+    path = str(tmp_path / "orbax_ckpt")
+    save_state_orbax(path, s, iteration=3, dt=1800.0, soft=1e8)
+    s2, meta = load_state_orbax(path)
+    assert s2.n == s.n and s2.padding == s.padding
+    np.testing.assert_array_equal(np.asarray(s2.qx), np.asarray(s.qx))
+    assert meta["iteration"] == 3 and meta["dt"] == 1800.0
