@@ -1,0 +1,77 @@
+"""Ops-script smoke tests (the L6 layer: energy report, plots, IC generator)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, **kw):
+    env = dict(os.environ)
+    env.setdefault("MPLBACKEND", "Agg")
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=REPO, env=env, timeout=300, **kw)
+
+
+def test_energy_report(tmp_path):
+    """Power-log integration parity: constant 50 W for 10 s = 500 J."""
+    log = tmp_path / "power.csv"
+    rows = ["timestamp_s,channel,watts"]
+    for t in range(11):
+        rows.append(f"{t}.0,chip,50.0")
+        rows.append(f"{t}.0,host,20.0")
+    log.write_text("\n".join(rows) + "\n")
+    r = _run(["scripts/energy_report.py", str(log),
+              "--t0", "0", "--t1", "10", "--frames", "100"])
+    assert r.returncode == 0, r.stderr
+    chip = [l for l in r.stdout.splitlines() if l.startswith("chip")][0]
+    cols = chip.split()
+    assert abs(float(cols[1]) - 500.0) < 1e-6      # joules
+    assert abs(float(cols[2]) - 50.0) < 1e-6       # mean W
+    assert abs(float(cols[3]) - 10.0 / 50.0) < 1e-3  # FPS/W
+    assert abs(float(cols[4]) - 5.0) < 1e-6        # J/frame
+
+
+def test_two_galaxy_generator_layout(tmp_path):
+    out = tmp_path / "mw.tab"
+    r = _run(["scripts/make_two_galaxy_tab.py", str(out), "--seed", "3"])
+    assert r.returncode == 0, r.stderr
+    data = np.loadtxt(out)
+    assert data.shape == (81920, 7)
+    # Andromeda's disk (second interleaved block) is offset from the origin
+    mw_disk = data[:16384, 1:4]
+    a_disk = data[16384:32768, 1:4]
+    assert np.linalg.norm(a_disk.mean(0)) > np.linalg.norm(mw_disk.mean(0)) + 10
+
+
+def test_plot_history_metrics(tmp_path):
+    pytest.importorskip("matplotlib")
+    csv = tmp_path / "m.csv"
+    lines = ["iteration,energy,ang_momentum,density_center_x,"
+             "density_center_y,density_center_z"]
+    for i in range(5):
+        lines.append(f"{i},{-1e29 * (1 + 1e-5 * i)},3e34,{i},0,0")
+    csv.write_text("\n".join(lines) + "\n")
+    r = _run(["scripts/plot_history_metrics.py", str(csv),
+              str(tmp_path / "out")])
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "out_metrics.png").exists()
+
+
+def test_make_plots(tmp_path):
+    pytest.importorskip("matplotlib")
+    bench = {"metric": "ref_gflops_n200k_galaxy", "value": 123456.0,
+             "fps": 321.0, "fps_exact_allpairs": 5.5,
+             "ref_gflops_exact_allpairs": 4100.0}
+    with open(os.path.join(REPO, "BENCH_rTEST.json"), "w") as f:
+        json.dump(bench, f)
+    try:
+        r = _run(["scripts/make_plots.py", str(tmp_path)])
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "bench_comparison.png").exists()
+    finally:
+        os.remove(os.path.join(REPO, "BENCH_rTEST.json"))
