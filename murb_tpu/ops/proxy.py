@@ -82,15 +82,25 @@ def _cheb_nodes(m: int) -> np.ndarray:
 
 def _basis(t, m: int):
     """Lagrange-on-Chebyshev basis S (len(t), m):
-    S_k(t) = 1/m + (2/m) sum_{j>=1} T_j(t_k) T_j(t)."""
+    S_k(t) = 1/m + (2/m) sum_{j>=1} T_j(t_k) T_j(t).
+
+    T_j(t) is built with the three-term recurrence (2 fma per order) -- no
+    arccos/cos transcendentals, and numerically identical on [-1, 1]."""
     dtype = t.dtype
-    j = jnp.arange(1, m, dtype=dtype)
-    theta = jnp.arccos(jnp.clip(t, -1.0, 1.0))
-    t_nodes = jnp.asarray(_cheb_nodes(m), dtype)
-    tj_nodes = jnp.cos(jnp.arccos(t_nodes)[None, :] * j[:, None])  # (m-1, m)
-    tj_t = jnp.cos(theta[None, :] * j[:, None])                    # (m-1, T)
+    t = jnp.clip(t, -1.0, 1.0)
+    # T_j(t) for j = 1..m-1, shape (len(t), m-1)
+    cols = [t]
+    if m > 2:
+        cols.append(2.0 * t * t - 1.0)
+        for _ in range(3, m):
+            cols.append(2.0 * t * cols[-1] - cols[-2])
+    tj_t = jnp.stack(cols[: m - 1], axis=1)
+    # T_j at the nodes, precomputed exactly on host
+    j = np.arange(1, m)
+    theta_nodes = np.pi * (np.arange(m) + 0.5) / m
+    tj_nodes = np.cos(np.outer(j, theta_nodes)).T            # (m, m-1)
     s = (1.0 / m) + (2.0 / m) * jnp.einsum(
-        "jk,jt->tk", tj_nodes, tj_t,
+        "tj,kj->tk", tj_t, jnp.asarray(tj_nodes, dtype),
         precision=_EINSUM_PRECISION,
     )
     return s  # (T, m)
@@ -215,12 +225,13 @@ def potential_node_sweep(px, py, pz, w, soft):
 
 
 def l2p_scalar(sx, syz, phi, m: int):
-    """Interpolate a scalar node field back to the bodies -> (n,)."""
+    """Interpolate a scalar node field back to the bodies -> (n,).
+    Small-tensor-first contraction (see l2p)."""
     fgrid = phi.reshape(m, m * m)
-    partial = jnp.einsum(
-        "ju,up->jp", sx, fgrid, precision=_EINSUM_PRECISION,
-    )
-    return jnp.sum(syz * partial, axis=1)
+    b = jnp.einsum(
+        "jp,up->ju", syz, fgrid, precision=_EINSUM_PRECISION,
+    )  # (n, m)
+    return jnp.sum(sx * b, axis=1)
 
 
 @functools.partial(
@@ -315,13 +326,18 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
 
 
 def l2p(sx, syz, f: Accel, m: int):
-    """a (n, 3): interpolate node forces back to the bodies."""
+    """a (n, 3): interpolate node forces back to the bodies.
+
+    Contraction order matters for HBM traffic: contracting the SMALL tensor
+    first keeps the body-sized intermediate at (n, 3m) instead of the
+    (n, m^2, 3) blow-up (~600 MB at n=200k, m=16) the naive order
+    materializes."""
     fstack = jnp.stack([f.ax, f.ay, f.az], axis=1).reshape(m, m * m, 3)
-    partial = jnp.einsum(
-        "ju,upc->jpc", sx, fstack, precision=_EINSUM_PRECISION,
-    )
+    b = jnp.einsum(
+        "jp,upc->juc", syz, fstack, precision=_EINSUM_PRECISION,
+    )  # (n, m, 3): one (n, m^2) x (m^2, 3m) matmul
     return jnp.einsum(
-        "jp,jpc->jc", syz, partial, precision=_EINSUM_PRECISION,
+        "ju,juc->jc", sx, b, precision=_EINSUM_PRECISION,
     )
 
 
