@@ -422,7 +422,22 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
         qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    if cells == 1:
+    use_fused = (
+        cells == 1
+        and jax.default_backend() == "tpu"
+        and n % 256 == 0
+    )
+    if use_fused:
+        # Pallas-fused stages: bases rebuilt in VMEM, no (N, m^2) HBM
+        # intermediate (ops/proxy_pallas.py).
+        from murb_tpu.ops.common import pick_block
+        from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
+
+        block = pick_block(n, 2048)
+        w = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m, block=block)
+        f = m2l(c, h, w, soft, m, dtype)
+        acc = l2p_fused(qx, qy, qz, c, h, f.ax, f.ay, f.az, m=m, block=block)
+    elif cells == 1:
         sx, syz = bases(qx, qy, qz, c, h, m)
         w = p2m(sx, syz, gm_eff, m)
         f = m2l(c, h, w, soft, m, dtype)

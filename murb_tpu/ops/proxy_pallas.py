@@ -1,0 +1,175 @@
+"""Pallas-fused anterpolation stages for the Chebyshev proxy solver.
+
+The XLA formulation of P2M / L2P materializes the combined basis
+``syz (N, m^2)`` in HBM and reads it in every contraction -- ~600 MB of
+traffic per step at N=200k, m=16, which dominates the proxy step.  These
+kernels rebuild the per-dimension bases in VMEM from the raw coordinates
+(Chebyshev three-term recurrence: pure fma work) and contract them against
+the tiny node-side tensors on the spot, so the only HBM traffic is the
+coordinates in and the result out.
+
+Layouts (all lane-friendly, bodies on lanes):
+  S_x/S_y/S_z : (m, B)        basis rows per dimension
+  syz         : (m^2, B)      built row-block by row-block
+  P2M         : W (m, m^2) accumulated in VMEM scratch across the grid
+  L2P         : b = F^T (3m, m^2) @ syz -> (3m, B); a_c = sum_u Sx[u]*b_c[u]
+
+Used automatically by ops/proxy.py on TPU for the single-cell path; the XLA
+formulation remains the reference implementation and CPU path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tj_nodes(m: int) -> np.ndarray:
+    """T_j(t_k) for j=1..m-1 at the first-kind nodes t_k, shape (m, m-1)."""
+    j = np.arange(1, m)
+    theta = np.pi * (np.arange(m) + 0.5) / m
+    return np.cos(np.outer(theta, j))  # (m, m-1)
+
+
+def _basis_rows(t_row, nodes_ref, m: int):
+    """S (m, B) from t (1, B) via the Chebyshev recurrence + one tiny matmul."""
+    t = jnp.clip(t_row, -1.0, 1.0)
+    rows = [t]
+    if m > 2:
+        rows.append(2.0 * t * t - 1.0)
+        for _ in range(3, m):
+            rows.append(2.0 * t * rows[-1] - rows[-2])
+    tj = jnp.concatenate(rows[: m - 1], axis=0)          # (m-1, B)
+    s = jax.lax.dot_general(
+        nodes_ref[...], tj, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (m, B)
+    return (1.0 / m) + (2.0 / m) * s
+
+
+def _syz_rows(sy, sz, m: int):
+    """syz (m^2, B): row (v*m + w) = sy[v] * sz[w], built m rows at a time."""
+    blocks = [sy[v:v + 1, :] * sz for v in range(m)]     # each (m, B)
+    return jnp.concatenate(blocks, axis=0)               # (m^2, B)
+
+
+def _scaled_coords(qx, qy, qz, box_ref):
+    """(1,B) normalized coordinates from the dynamic box (1,8) input."""
+    cx, cy, cz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+    hx, hy, hz = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+    f32 = lambda r: r[...].astype(jnp.float32)
+    return ((f32(qx) - cx) / hx, (f32(qy) - cy) / hy, (f32(qz) - cz) / hz)
+
+
+# ------------------------------------------------------------------- P2M
+def _p2m_kernel(qx, qy, qz, gm, box, nodes, w_out, w_acc, *, m):
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    tx, ty, tz = _scaled_coords(qx, qy, qz, box)
+    sx = _basis_rows(tx, nodes, m)
+    sy = _basis_rows(ty, nodes, m)
+    sz = _basis_rows(tz, nodes, m)
+    syz = _syz_rows(sy, sz, m)                           # (m^2, B)
+    gsx = sx * gm[...].astype(jnp.float32)               # (m, B) * (1, B)
+    part = jax.lax.dot_general(
+        gsx, syz, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (m, m^2)
+
+    @pl.when(i == 0)
+    def _():
+        w_acc[...] = part
+
+    @pl.when(i > 0)
+    def _():
+        w_acc[...] += part
+
+    @pl.when(i == ni - 1)
+    def _():
+        w_out[...] = w_acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "block"))
+def p2m_fused(qx, qy, qz, gm_eff, c, h, *, m: int, block: int = 2048):
+    """W (m^3,) = P2M with in-kernel basis construction (TPU only)."""
+    n = qx.shape[0]
+    assert n % block == 0, (n, block)
+    box = jnp.concatenate([c, h, jnp.zeros(2, c.dtype)]).reshape(1, 8)
+    box = box.astype(jnp.float32)
+    nodes = jnp.asarray(_tj_nodes(m), jnp.float32)
+
+    row = lambda a: a.reshape(1, n)
+    bspec = pl.BlockSpec((1, block), lambda i: (0, i))
+    full = pl.BlockSpec((1, 8), lambda i: (0, 0))
+    nspec = pl.BlockSpec((m, m - 1), lambda i: (0, 0))
+
+    w = pl.pallas_call(
+        functools.partial(_p2m_kernel, m=m),
+        grid=(n // block,),
+        in_specs=[bspec, bspec, bspec, bspec, full, nspec],
+        out_specs=pl.BlockSpec((m, m * m), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, m * m), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, m * m), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(row(qx), row(qy), row(qz), row(gm_eff), box, nodes)
+    return w.reshape(m * m * m)
+
+
+# ------------------------------------------------------------------- L2P
+def _l2p_kernel(qx, qy, qz, box, nodes, fmat, ax, ay, az, *, m):
+    tx, ty, tz = _scaled_coords(qx, qy, qz, box)
+    sx = _basis_rows(tx, nodes, m)
+    sy = _basis_rows(ty, nodes, m)
+    sz = _basis_rows(tz, nodes, m)
+    syz = _syz_rows(sy, sz, m)                           # (m^2, B)
+    b = jax.lax.dot_general(
+        fmat[...], syz, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (3m, B): rows [x: 0..m-1, y: m..2m-1, z: 2m..3m-1]
+    ax[...] = jnp.sum(sx * b[0:m, :], axis=0, keepdims=True)
+    ay[...] = jnp.sum(sx * b[m:2 * m, :], axis=0, keepdims=True)
+    az[...] = jnp.sum(sx * b[2 * m:3 * m, :], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "block"))
+def l2p_fused(qx, qy, qz, c, h, f_ax, f_ay, f_az, *, m: int,
+              block: int = 2048):
+    """a (n, 3) = L2P with in-kernel basis construction (TPU only)."""
+    n = qx.shape[0]
+    assert n % block == 0, (n, block)
+    box = jnp.concatenate([c, h, jnp.zeros(2, c.dtype)]).reshape(1, 8)
+    box = box.astype(jnp.float32)
+    nodes = jnp.asarray(_tj_nodes(m), jnp.float32)
+    # F^T (3m, m^2): row u of component c at index c*m + u; F is (m, m^2) per
+    # component after reshaping the (m^3,) node fields.
+    fmat = jnp.concatenate([
+        f_ax.reshape(m, m * m), f_ay.reshape(m, m * m), f_az.reshape(m, m * m)
+    ]).astype(jnp.float32)
+
+    row = lambda a: a.reshape(1, n)
+    bspec = pl.BlockSpec((1, block), lambda i: (0, i))
+    full = pl.BlockSpec((1, 8), lambda i: (0, 0))
+    nspec = pl.BlockSpec((m, m - 1), lambda i: (0, 0))
+    fspec = pl.BlockSpec((3 * m, m * m), lambda i: (0, 0))
+    ospec = pl.BlockSpec((1, block), lambda i: (0, i))
+
+    ax, ay, az = pl.pallas_call(
+        functools.partial(_l2p_kernel, m=m),
+        grid=(n // block,),
+        in_specs=[bspec, bspec, bspec, full, nspec, fspec],
+        out_specs=[ospec, ospec, ospec],
+        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(row(qx), row(qy), row(qz), box, nodes, fmat)
+    return jnp.stack([ax.reshape(n), ay.reshape(n), az.reshape(n)], axis=1)
