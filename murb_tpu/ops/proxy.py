@@ -298,14 +298,29 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
         qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    sx, syz = bases(qx, qy, qz, c, h, m)
-    w = p2m(sx, syz, gm_eff, m)
-    px, py, pz = proxy_nodes(c, h, m, dtype)
-    f = node_sweep(px, py, pz, w, soft)
-    phi_nodes = potential_node_sweep(px, py, pz, w, soft)
+    use_fused = jax.default_backend() == "tpu" and n % 256 == 0
+    if use_fused:
+        from murb_tpu.ops.common import pick_block
+        from murb_tpu.ops.proxy_pallas import l2p_fused_multi, p2m_fused
 
-    acc = l2p(sx, syz, f, m)
-    phi = l2p_scalar(sx, syz, phi_nodes, m)
+        block = pick_block(n, 2048)
+        w = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m, block=block)
+        px, py, pz = proxy_nodes(c, h, m, dtype)
+        f = node_sweep(px, py, pz, w, soft)
+        phi_nodes = potential_node_sweep(px, py, pz, w, soft)
+        ax, ay, az, phi = l2p_fused_multi(
+            qx, qy, qz, c, h, (f.ax, f.ay, f.az, phi_nodes), m=m, block=block
+        )
+        acc = jnp.stack([ax, ay, az], axis=1)
+    else:
+        sx, syz = bases(qx, qy, qz, c, h, m)
+        w = p2m(sx, syz, gm_eff, m)
+        px, py, pz = proxy_nodes(c, h, m, dtype)
+        f = node_sweep(px, py, pz, w, soft)
+        phi_nodes = potential_node_sweep(px, py, pz, w, soft)
+
+        acc = l2p(sx, syz, f, m)
+        phi = l2p_scalar(sx, syz, phi_nodes, m)
 
     # heavy sources exactly (XLA CSE shares the distance tensors between the
     # force and potential helpers)

@@ -124,7 +124,8 @@ def p2m_fused(qx, qy, qz, gm_eff, c, h, *, m: int, block: int = 2048):
 
 
 # ------------------------------------------------------------------- L2P
-def _l2p_kernel(qx, qy, qz, box, nodes, fmat, ax, ay, az, *, m):
+def _l2p_kernel(qx, qy, qz, box, nodes, fmat, *outs, m):
+    """Interpolate len(outs) stacked node fields back to the bodies."""
     tx, ty, tz = _scaled_coords(qx, qy, qz, box)
     sx = _basis_rows(tx, nodes, m)
     sy = _basis_rows(ty, nodes, m)
@@ -134,42 +135,48 @@ def _l2p_kernel(qx, qy, qz, box, nodes, fmat, ax, ay, az, *, m):
         fmat[...], syz, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (3m, B): rows [x: 0..m-1, y: m..2m-1, z: 2m..3m-1]
-    ax[...] = jnp.sum(sx * b[0:m, :], axis=0, keepdims=True)
-    ay[...] = jnp.sum(sx * b[m:2 * m, :], axis=0, keepdims=True)
-    az[...] = jnp.sum(sx * b[2 * m:3 * m, :], axis=0, keepdims=True)
+    )  # (len(outs)*m, B): field f occupies rows [f*m, (f+1)*m)
+    for f, out in enumerate(outs):
+        out[...] = jnp.sum(sx * b[f * m:(f + 1) * m, :], axis=0,
+                           keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "block"))
-def l2p_fused(qx, qy, qz, c, h, f_ax, f_ay, f_az, *, m: int,
-              block: int = 2048):
-    """a (n, 3) = L2P with in-kernel basis construction (TPU only)."""
+def l2p_fused_multi(qx, qy, qz, c, h, fields, *, m: int, block: int = 2048):
+    """Interpolate an arbitrary tuple of (m^3,) node fields -> tuple of (n,)."""
     n = qx.shape[0]
     assert n % block == 0, (n, block)
+    k = len(fields)
     box = jnp.concatenate([c, h, jnp.zeros(2, c.dtype)]).reshape(1, 8)
     box = box.astype(jnp.float32)
     nodes = jnp.asarray(_tj_nodes(m), jnp.float32)
-    # F^T (3m, m^2): row u of component c at index c*m + u; F is (m, m^2) per
-    # component after reshaping the (m^3,) node fields.
-    fmat = jnp.concatenate([
-        f_ax.reshape(m, m * m), f_ay.reshape(m, m * m), f_az.reshape(m, m * m)
-    ]).astype(jnp.float32)
+    fmat = jnp.concatenate(
+        [f.reshape(m, m * m) for f in fields]
+    ).astype(jnp.float32)  # (k*m, m^2)
 
     row = lambda a: a.reshape(1, n)
     bspec = pl.BlockSpec((1, block), lambda i: (0, i))
     full = pl.BlockSpec((1, 8), lambda i: (0, 0))
     nspec = pl.BlockSpec((m, m - 1), lambda i: (0, 0))
-    fspec = pl.BlockSpec((3 * m, m * m), lambda i: (0, 0))
+    fspec = pl.BlockSpec((k * m, m * m), lambda i: (0, 0))
     ospec = pl.BlockSpec((1, block), lambda i: (0, i))
 
-    ax, ay, az = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_l2p_kernel, m=m),
         grid=(n // block,),
         in_specs=[bspec, bspec, bspec, full, nspec, fspec],
-        out_specs=[ospec, ospec, ospec],
-        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 3,
+        out_specs=[ospec] * k,
+        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * k,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
     )(row(qx), row(qy), row(qz), box, nodes, fmat)
-    return jnp.stack([ax.reshape(n), ay.reshape(n), az.reshape(n)], axis=1)
+    return tuple(o.reshape(n) for o in outs)
+
+
+def l2p_fused(qx, qy, qz, c, h, f_ax, f_ay, f_az, *, m: int,
+              block: int = 2048):
+    """a (n, 3) = L2P with in-kernel basis construction (TPU only)."""
+    ax, ay, az = l2p_fused_multi(qx, qy, qz, c, h, (f_ax, f_ay, f_az),
+                                 m=m, block=block)
+    return jnp.stack([ax, ay, az], axis=1)
