@@ -173,13 +173,16 @@ def node_sweep(px, py, pz, w, soft) -> Accel:
     import jax as _jax
 
     if _jax.default_backend() == "tpu":
-        from murb_tpu.ops.hybrid import acc_hybrid_rect
+        # Exact fp32 VPU tile kernel: Chebyshev node weights oscillate with
+        # heavy cancellation, so the bf16-reduction hybrid kernel is NOT
+        # accurate enough here (measured ~3.5e-3 p99 force error at m=20
+        # octants vs ~5e-5 with the exact sweep).
+        from murb_tpu.ops.tile_pallas import acc_tile_rect
 
         pad = (-p) % 2048
         pads = lambda a: jnp.pad(a, (0, pad))
-        a = acc_hybrid_rect(pads(px), pads(py), pads(pz),
-                            pads(px), pads(py), pads(pz), pads(w), soft,
-                            passes=2)
+        a = acc_tile_rect(pads(px), pads(py), pads(pz),
+                          pads(px), pads(py), pads(pz), pads(w), soft)
         return Accel(a.ax[:p], a.ay[:p], a.az[:p])
     # chunked i-rows, O(chunk * P) memory
     chunk = 2048
@@ -493,12 +496,25 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
         mz = jnp.where(co[2] > c[2], qz > c[2], qz <= c[2])
         return (mx & my & mz).astype(dtype)
 
+    n = qx.shape[0]
+    use_fused = jax.default_backend() == "tpu" and n % 256 == 0
+    if use_fused:
+        from murb_tpu.ops.common import pick_block
+        from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
+
+        block = pick_block(n, 2048)
+
     # P2M per octant -> concatenated weights + node coords, one exact sweep
     ws, pxs, pys, pzs, octant_bases = [], [], [], [], []
     for co in octants:
-        sx, syz = bases(qx, qy, qz, co, half, m)
-        octant_bases.append((sx, syz))
-        ws.append(p2m(sx, syz, gm_eff * member(co), m))
+        gm_o = gm_eff * member(co)
+        if use_fused:
+            octant_bases.append(None)
+            ws.append(p2m_fused(qx, qy, qz, gm_o, co, half, m=m, block=block))
+        else:
+            sx, syz = bases(qx, qy, qz, co, half, m)
+            octant_bases.append((sx, syz))
+            ws.append(p2m(sx, syz, gm_o, m))
         px, py, pz = proxy_nodes(co, half, m, dtype)
         pxs.append(px)
         pys.append(py)
@@ -507,11 +523,16 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
                    jnp.concatenate(pzs), jnp.concatenate(ws), soft)
 
     # L2P: each body reads its own octant's field (bases reused from P2M)
-    acc = jnp.zeros((qx.shape[0], 3), dtype)
+    acc = jnp.zeros((n, 3), dtype)
     p = m * m * m
     for o, co in enumerate(octants):
-        sx, syz = octant_bases[o]
         fo = Accel(f.ax[o * p:(o + 1) * p], f.ay[o * p:(o + 1) * p],
                    f.az[o * p:(o + 1) * p])
-        acc = acc + member(co)[:, None] * l2p(sx, syz, fo, m)
+        if use_fused:
+            part = l2p_fused(qx, qy, qz, co, half, fo.ax, fo.ay, fo.az,
+                             m=m, block=block)
+        else:
+            sx, syz = octant_bases[o]
+            part = l2p(sx, syz, fo, m)
+        acc = acc + member(co)[:, None] * part
     return acc

@@ -268,11 +268,25 @@ class ShardedEngine(SimulationEngine):
 
             # P2M locally; ONE psum of the m^3 coefficients is the only
             # N-independent collective of the far field
-            sx, syz = bases(qx, qy, qz, c, h, m)
-            w = jax.lax.psum(p2m(sx, syz, gm_eff, m), SHARD_AXIS)
+            n_local = qx.shape[0]
+            fused = jax.default_backend() == "tpu" and n_local % 256 == 0
+            if fused:
+                from murb_tpu.ops.common import pick_block
+                from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
+
+                block = pick_block(n_local, 2048)
+                w_local = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m, block=block)
+            else:
+                sx, syz = bases(qx, qy, qz, c, h, m)
+                w_local = p2m(sx, syz, gm_eff, m)
+            w = jax.lax.psum(w_local, SHARD_AXIS)
 
             f = m2l(c, h, w, soft, m, dtype)      # redundant tiny sweep
-            acc = l2p(sx, syz, f, m)              # local rows only
+            if fused:
+                acc = l2p_fused(qx, qy, qz, c, h, f.ax, f.ay, f.az,
+                                m=m, block=block)
+            else:
+                acc = l2p(sx, syz, f, m)          # local rows only
             acc = acc + heavy_source_acc(qx, qy, qz, hq_g, hgm_g, soft)
 
             # exact forces on the global heavy list: psum of local partials
