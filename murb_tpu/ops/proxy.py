@@ -301,27 +301,26 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
         qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    use_fused = jax.default_backend() == "tpu" and n % 256 == 0
-    if use_fused:
-        from murb_tpu.ops.common import pick_block
+    from murb_tpu.ops.proxy_pallas import fused_block
+
+    block = fused_block(n)
+    # branch only for P2M; the node sweeps are shared
+    if block:
         from murb_tpu.ops.proxy_pallas import l2p_fused_multi, p2m_fused
 
-        block = pick_block(n, 2048)
         w = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m, block=block)
-        px, py, pz = proxy_nodes(c, h, m, dtype)
-        f = node_sweep(px, py, pz, w, soft)
-        phi_nodes = potential_node_sweep(px, py, pz, w, soft)
+    else:
+        sx, syz = bases(qx, qy, qz, c, h, m)
+        w = p2m(sx, syz, gm_eff, m)
+    px, py, pz = proxy_nodes(c, h, m, dtype)
+    f = node_sweep(px, py, pz, w, soft)
+    phi_nodes = potential_node_sweep(px, py, pz, w, soft)
+    if block:
         ax, ay, az, phi = l2p_fused_multi(
             qx, qy, qz, c, h, (f.ax, f.ay, f.az, phi_nodes), m=m, block=block
         )
         acc = jnp.stack([ax, ay, az], axis=1)
     else:
-        sx, syz = bases(qx, qy, qz, c, h, m)
-        w = p2m(sx, syz, gm_eff, m)
-        px, py, pz = proxy_nodes(c, h, m, dtype)
-        f = node_sweep(px, py, pz, w, soft)
-        phi_nodes = potential_node_sweep(px, py, pz, w, soft)
-
         acc = l2p(sx, syz, f, m)
         phi = l2p_scalar(sx, syz, phi_nodes, m)
 
@@ -440,18 +439,14 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
         qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    use_fused = (
-        cells == 1
-        and jax.default_backend() == "tpu"
-        and n % 256 == 0
-    )
-    if use_fused:
+    from murb_tpu.ops.proxy_pallas import fused_block
+
+    block = fused_block(n) if cells == 1 else None
+    if block:
         # Pallas-fused stages: bases rebuilt in VMEM, no (N, m^2) HBM
         # intermediate (ops/proxy_pallas.py).
-        from murb_tpu.ops.common import pick_block
         from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
 
-        block = pick_block(n, 2048)
         w = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m, block=block)
         f = m2l(c, h, w, soft, m, dtype)
         acc = l2p_fused(qx, qy, qz, c, h, f.ax, f.ay, f.az, m=m, block=block)
@@ -497,18 +492,17 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
         return (mx & my & mz).astype(dtype)
 
     n = qx.shape[0]
-    use_fused = jax.default_backend() == "tpu" and n % 256 == 0
-    if use_fused:
-        from murb_tpu.ops.common import pick_block
-        from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
+    from murb_tpu.ops.proxy_pallas import fused_block
 
-        block = pick_block(n, 2048)
+    block = fused_block(n)
+    if block:
+        from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
 
     # P2M per octant -> concatenated weights + node coords, one exact sweep
     ws, pxs, pys, pzs, octant_bases = [], [], [], [], []
     for co in octants:
         gm_o = gm_eff * member(co)
-        if use_fused:
+        if block:
             octant_bases.append(None)
             ws.append(p2m_fused(qx, qy, qz, gm_o, co, half, m=m, block=block))
         else:
@@ -528,7 +522,7 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
     for o, co in enumerate(octants):
         fo = Accel(f.ax[o * p:(o + 1) * p], f.ay[o * p:(o + 1) * p],
                    f.az[o * p:(o + 1) * p])
-        if use_fused:
+        if block:
             part = l2p_fused(qx, qy, qz, co, half, fo.ax, fo.ay, fo.az,
                              m=m, block=block)
         else:

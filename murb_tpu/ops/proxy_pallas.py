@@ -28,6 +28,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def fused_block(n: int) -> int | None:
+    """Block size for the fused kernels, or None when they don't apply
+    (non-TPU backend or lane-misaligned body count).  The single source of
+    the eligibility rule used by every call site."""
+    if jax.default_backend() != "tpu" or n % 256 != 0:
+        return None
+    from murb_tpu.ops.common import pick_block
+
+    return pick_block(n, 2048)
+
+
 def _tj_nodes(m: int) -> np.ndarray:
     """T_j(t_k) for j=1..m-1 at the first-kind nodes t_k, shape (m, m-1)."""
     j = np.arange(1, m)
@@ -95,8 +106,9 @@ def _p2m_kernel(qx, qy, qz, gm, box, nodes, w_out, w_acc, *, m):
         w_out[...] = w_acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("m", "block"))
-def p2m_fused(qx, qy, qz, gm_eff, c, h, *, m: int, block: int = 2048):
+@functools.partial(jax.jit, static_argnames=("m", "block", "interpret"))
+def p2m_fused(qx, qy, qz, gm_eff, c, h, *, m: int, block: int = 2048,
+              interpret: bool = False):
     """W (m^3,) = P2M with in-kernel basis construction (TPU only)."""
     n = qx.shape[0]
     assert n % block == 0, (n, block)
@@ -119,6 +131,7 @@ def p2m_fused(qx, qy, qz, gm_eff, c, h, *, m: int, block: int = 2048):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        interpret=interpret,
     )(row(qx), row(qy), row(qz), row(gm_eff), box, nodes)
     return w.reshape(m * m * m)
 
@@ -141,8 +154,9 @@ def _l2p_kernel(qx, qy, qz, box, nodes, fmat, *outs, m):
                            keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "block"))
-def l2p_fused_multi(qx, qy, qz, c, h, fields, *, m: int, block: int = 2048):
+@functools.partial(jax.jit, static_argnames=("m", "block", "interpret"))
+def l2p_fused_multi(qx, qy, qz, c, h, fields, *, m: int, block: int = 2048,
+                    interpret: bool = False):
     """Interpolate an arbitrary tuple of (m^3,) node fields -> tuple of (n,)."""
     n = qx.shape[0]
     assert n % block == 0, (n, block)
@@ -170,13 +184,15 @@ def l2p_fused_multi(qx, qy, qz, c, h, fields, *, m: int, block: int = 2048):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
+        interpret=interpret,
     )(row(qx), row(qy), row(qz), box, nodes, fmat)
-    return tuple(o.reshape(n) for o in outs)
+    # preserve the caller's state dtype (XLA-path parity)
+    return tuple(o.reshape(n).astype(qx.dtype) for o in outs)
 
 
 def l2p_fused(qx, qy, qz, c, h, f_ax, f_ay, f_az, *, m: int,
-              block: int = 2048):
-    """a (n, 3) = L2P with in-kernel basis construction (TPU only)."""
+              block: int = 2048, interpret: bool = False):
+    """a (n, 3) = L2P with in-kernel basis construction."""
     ax, ay, az = l2p_fused_multi(qx, qy, qz, c, h, (f_ax, f_ay, f_az),
-                                 m=m, block=block)
+                                 m=m, block=block, interpret=interpret)
     return jnp.stack([ax, ay, az], axis=1)

@@ -133,3 +133,39 @@ def test_proxy_scan_run_matches_stepwise():
     b.run(4)
     da, db = a.bodies.unpadded(), b.bodies.unpadded()
     assert_within_rel(db["qx"], da["qx"], 1e-6, "proxy scan vs stepwise")
+
+
+def test_fused_pallas_stages_match_xla(n_devices):
+    """Interpret-mode parity: the Pallas-fused P2M/L2P must reproduce the
+    XLA stages (the fused path is TPU-gated, so without this the CPU suite
+    would never execute those kernels)."""
+    import jax.numpy as jnp
+
+    from murb_tpu.ops.proxy import bases, bounding_box, l2p, p2m
+    from murb_tpu.ops.proxy_pallas import l2p_fused_multi, p2m_fused
+    from murb_tpu.ops.common import Accel
+
+    m = 12
+    s = SCHEMES["galaxy"](512, 17)
+    gm = np.float32(G) * s.m
+    c, h = bounding_box(s.qx, s.qy, s.qz, jnp.asarray(gm) > 0)
+
+    sx, syz = bases(s.qx, s.qy, s.qz, c, h, m)
+    w_ref = np.asarray(p2m(sx, syz, jnp.asarray(gm), m))
+    w_fused = np.asarray(
+        p2m_fused(s.qx, s.qy, s.qz, jnp.asarray(gm), c, h, m=m, block=256,
+                  interpret=True)
+    )
+    np.testing.assert_allclose(w_fused, w_ref, rtol=1e-4,
+                               atol=1e-6 * np.abs(w_ref).max())
+
+    # synthetic node fields for L2P parity
+    rng = np.random.default_rng(0)
+    fields = tuple(jnp.asarray(rng.normal(size=m**3).astype(np.float32))
+                   for _ in range(3))
+    ref = np.asarray(l2p(sx, syz, Accel(*fields), m))
+    got = l2p_fused_multi(s.qx, s.qy, s.qz, c, h, fields, m=m, block=256,
+                          interpret=True)
+    got = np.stack([np.asarray(g) for g in got], axis=1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4,
+                               atol=1e-5 * np.abs(ref).max())
