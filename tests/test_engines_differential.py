@@ -122,3 +122,16 @@ def test_accelerations_message_after_fast_run():
     e.run(2)
     with pytest.raises(RuntimeError, match="not materialized"):
         _ = e.accelerations
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_tiny_body_counts(n):
+    """Degenerate sizes must not crash any main engine (padding covers the
+    lane alignment; softening keeps the self-term finite)."""
+    bodies = SCHEMES["galaxy"](n, 1)
+    for tag in ("cpu+naive", "xla+chunked", "tpu+tile", "tpu+hybrid",
+                "tpu+proxy", "tpu+kdk"):
+        e = create_engine(tag, bodies, soft=SOFT, dt=DT)
+        e.compute_one_iteration()
+        d = e.bodies.unpadded()
+        assert np.all(np.isfinite(d["qx"])), (tag, n)
