@@ -55,7 +55,11 @@ from murb_tpu.parallel.mesh import (
     shard_state,
 )
 
-_shard_map = jax.shard_map
+# check_vma=False: the local step bodies invoke Pallas kernels, whose
+# out_shape carries no varying-manual-axes annotation; jax 0.9's vma
+# validation rejects that combination on TPU.  The specs below fully
+# determine the sharding, so the check adds nothing here.
+_shard_map = partial(jax.shard_map, check_vma=False)
 
 
 def _default_kernel() -> str:
@@ -73,7 +77,10 @@ def _rect_kernel(name: str, block_i: int, block_j: int):
     if name == "hybrid":
         from murb_tpu.ops.hybrid import acc_hybrid_rect
 
-        return partial(acc_hybrid_rect, block_i=block_i, block_j=block_j)
+        # passes=2: the accuracy default (single-pass bf16 misses the
+        # chaotic-central-body tolerance, same as the single-chip engines)
+        return partial(acc_hybrid_rect, block_i=block_i, block_j=block_j,
+                       passes=2)
     if name == "mxu":
         from murb_tpu.ops.mxu import acc_mxu_rect
 

@@ -26,7 +26,12 @@ def _compare_vs_oracle(tag, n, iters, eps, **kw):
         tgt.compute_one_iteration()
         a, b = ref.bodies.unpadded(), tgt.bodies.unpadded()
         for c in ("qx", "qy", "qz"):
-            assert_within_rel(b[c], a[c], eps, f"{tag} iter {i} {c}")
+            # rms floor: the galaxy's central body sits ~10 m from the
+            # origin (rms position ~1e8); its relative error is bf16/fp32
+            # rounding noise, the same case the reference's 1e-1 galaxy
+            # tolerance absorbs (single-chip tests use that discipline).
+            assert_within_rel(b[c], a[c], eps, f"{tag} iter {i} {c}",
+                              rms_floor=1e-6)
 
 
 @pytest.mark.parametrize("tag", ["shard+allgather", "shard+ring"])
