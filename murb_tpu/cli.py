@@ -41,6 +41,9 @@ def enable_compile_cache() -> None:
 
 
 def build_engine(cfg: MurbConfig):
+    """-> (engine, start_iteration).  ``start_iteration`` is nonzero when
+    resuming from a checkpoint, so a later --save-state carries cumulative
+    progress instead of restarting the counter."""
     import jax.numpy as jnp
 
     from murb_tpu.models import validate_tag
@@ -49,12 +52,22 @@ def build_engine(cfg: MurbConfig):
     if cfg.precision == "fp64":
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(_DTYPES[cfg.precision])
+    start_iteration = 0
     if cfg.load_state:
         from murb_tpu.core.checkpoint import load_state
 
         bodies, meta = load_state(cfg.load_state)
+        start_iteration = int(meta.get("iteration", 0))
+        # The checkpoint's physics constants win unless the user explicitly
+        # re-specified them: a run saved with non-default --dt/--soft must
+        # not silently continue with different physics.
+        if not cfg.dt_explicit and "dt" in meta:
+            cfg.dt = float(meta["dt"])
+        if not cfg.soft_explicit and "soft" in meta:
+            cfg.softening = float(meta["soft"])
         print(f"Resumed state from {cfg.load_state} "
-              f"(iteration {meta['iteration']}, n={bodies.n})")
+              f"(iteration {start_iteration}, n={bodies.n}, "
+              f"dt={cfg.dt:g}, soft={cfg.softening:g})")
     else:
         bodies = make_bodies(
             cfg.n_bodies, cfg.scheme, cfg.seed,
@@ -89,7 +102,7 @@ def build_engine(cfg: MurbConfig):
             kernel, block_i=cfg.block_i, block_j=cfg.block_j,
             chunk=cfg.chunk, m=proxy_m or 16,
         )
-    return create_engine(
+    engine = create_engine(
         cfg.impl_tag, bodies,
         soft=cfg.softening, dt=cfg.dt,
         num_iterations=cfg.n_iterations,
@@ -97,6 +110,7 @@ def build_engine(cfg: MurbConfig):
         shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
         **extra,
     )
+    return engine, start_iteration
 
 
 def print_banner(cfg: MurbConfig, engine) -> None:
@@ -136,7 +150,7 @@ def main(argv=None) -> int:
         return 0
 
     try:
-        engine = build_engine(cfg)
+        engine, start_iteration = build_engine(cfg)
     except (ValueError, FileNotFoundError) as e:
         # ref: main.cpp:265-268 -- clean exit on unknown implementation
         print(e)
@@ -149,6 +163,7 @@ def main(argv=None) -> int:
     perf_ite, perf_total = Perf(), Perf()
     physic_time = 0.0
     n_done = 0
+    n_run = 0
 
     profile_ctx = None
     if cfg.profile:
@@ -167,6 +182,8 @@ def main(argv=None) -> int:
         if force or i_ite % max(cfg.dump_every, 1) == 0:
             d = engine.bodies.unpadded()
             traj.append(i_ite, d["qx"], d["qy"], d["qz"])
+
+    record(0, force=True)  # frame 0 = the initial conditions
 
     if cfg.scan and cfg.n_iterations > 0:
         # One device dispatch for the whole run (no per-iteration timing).
@@ -195,7 +212,8 @@ def main(argv=None) -> int:
                 engine.run(cfg.n_iterations - current)
         engine.block_until_ready()
         perf_total.stop()
-        n_done = timed
+        n_done = timed          # the timed iterations (for FPS)
+        n_run = cfg.n_iterations  # all iterations actually advanced
         physic_time = cfg.n_iterations * engine.dt
         if cfg.check_finite:
             engine.assert_finite()
@@ -227,7 +245,7 @@ def main(argv=None) -> int:
 
             i_ite += k
             physic_time += engine.dt * k
-            n_done = i_ite
+            n_done = n_run = i_ite
             record(i_ite)
             if cfg.check_finite:
                 engine.assert_finite()
@@ -287,7 +305,8 @@ def main(argv=None) -> int:
         from murb_tpu.core.checkpoint import save_state
 
         save_state(cfg.save_state, engine.bodies,
-                   iteration=n_done, dt=engine.dt, soft=engine.soft)
+                   iteration=start_iteration + n_run,
+                   dt=engine.dt, soft=engine.soft)
         print(f"State checkpoint written to {cfg.save_state}")
 
     return 0

@@ -49,6 +49,13 @@ class TrajectoryWriter:
         qx = np.ascontiguousarray(qx, dtype=np.float32)[: self.n]
         qy = np.ascontiguousarray(qy, dtype=np.float32)[: self.n]
         qz = np.ascontiguousarray(qz, dtype=np.float32)[: self.n]
+        if min(len(qx), len(qy), len(qz)) < self.n:
+            # A short array would make the native writer memcpy past the
+            # buffer end and would desynchronize the fixed-stride stream.
+            raise ValueError(
+                f"frame arrays must have >= {self.n} elements, got "
+                f"({len(qx)}, {len(qy)}, {len(qz)})"
+            )
         self._frames += 1
         if self._handle is not None:
             F = ctypes.POINTER(ctypes.c_float)

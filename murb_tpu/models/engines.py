@@ -466,36 +466,56 @@ class TrackingEngine(EulerAccelEngine):
             self.history.set_density_center_at(i, jax.device_get(dc))
         self._iteration += 1
 
-    def _tracked_run_scan(self):
-        """One jitted scan callable reused across run() calls (jax caches
-        compilation per distinct static length)."""
-        fn = self._run_cache.get("tracked_scan")
+    def _tracked_run_loop(self):
+        """One compiled program for ANY per-call iteration count: a
+        runtime-bound fori_loop writing per-iteration metrics into a
+        capacity-sized device buffer (capacity = the history length fixed at
+        construction).  A scan with a static length would recompile per
+        distinct count -- pathological for a frame loop whose --ite-chunk
+        leaves varying remainders."""
+        fn = self._run_cache.get("tracked_loop")
         if fn is None:
-            def step1(state, _):
+            cap = max(int(self.history.num_iterations), 1)
+            mets_shape = jax.eval_shape(self._step_with_metrics,
+                                        self._state)[2]
+
+            def body(k, carry):
+                state, bufs = carry
                 new_state, _acc, mets = self._step_with_metrics(state)
-                return new_state, mets
+                k_safe = jnp.minimum(k, cap - 1)
+                valid = k < cap  # past-capacity iterations leave bufs alone
 
-            @partial(jax.jit, donate_argnums=0, static_argnums=1)
-            def run_scan(state, n):
-                return jax.lax.scan(step1, state, length=n)
+                def write(b, v):
+                    v = jnp.where(valid, v.astype(b.dtype), b[k_safe])
+                    return jax.lax.dynamic_update_index_in_dim(b, v, k_safe, 0)
 
-            fn = self._run_cache["tracked_scan"] = run_scan
+                return new_state, jax.tree.map(write, bufs, mets)
+
+            @partial(jax.jit, donate_argnums=0)
+            def run_loop(state, n):
+                bufs0 = jax.tree.map(
+                    lambda s: jnp.zeros((cap,) + s.shape, s.dtype), mets_shape
+                )
+                return jax.lax.fori_loop(0, n, body, (state, bufs0))
+
+            fn = self._run_cache["tracked_loop"] = run_loop
         return fn
 
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-        self._state, (es, ls, dcs) = self._tracked_run_scan()(
+        self._state, (es, ls, dcs) = self._tracked_run_loop()(
             self._state, n_iterations
         )
         es, ls, dcs = jax.device_get((es, ls, dcs))
         i0 = self._iteration
         hi = self.history.num_iterations
-        for k in range(n_iterations):
+        for k in range(min(n_iterations, len(es))):
             if i0 + k < hi:
                 self.history.set_energy_at(i0 + k, float(es[k]))
                 self.history.set_ang_momentum_at(i0 + k, float(ls[k]))
                 self.history.set_density_center_at(i0 + k, dcs[k])
+        self._last_acc = None  # not materialized on the loop fast path
         self._iteration += n_iterations
 
 
@@ -566,12 +586,13 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
-        self._state, (es, ls, dcs) = self._tracked_run_scan()(
+        self._state, (es, ls, dcs) = self._tracked_run_loop()(
             self._state, n_iterations
         )
         es, ls, dcs = jax.device_get((es, ls, dcs))
-        for k in range(n_iterations):
+        for k in range(min(n_iterations, len(es))):
             self._record(self._iteration + k, es[k], ls[k], dcs[k])
+        self._last_acc = None
         self._iteration += n_iterations
 
     def finalize_history(self):

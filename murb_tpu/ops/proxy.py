@@ -53,6 +53,11 @@ from murb_tpu.ops.naive import acc_rect
 # the bf16x6 HIGHEST passes on the N*m^3 anterpolation matmuls.
 _EINSUM_PRECISION = jax.lax.Precision.HIGH
 
+# Bodies heavier than this multiple of the mean mass are excluded from the
+# proxy and summed exactly (the near-field list).  Shared by every caller
+# that defaults the knob (single-chip engines, shard+proxy, tracking).
+DEFAULT_HEAVY_FACTOR = 100.0
+
 
 def required_order(halfwidth: float, soft: float, tol: float = 1e-4,
                    margin: int = 2) -> int:
@@ -241,7 +246,7 @@ def l2p_scalar(sx, syz, phi, m: int):
     jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor")
 )
 def potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
-                    heavy_factor: float = 100.0):
+                    heavy_factor: float = DEFAULT_HEAVY_FACTOR):
     """phi_i = sum_j Gm_j * rsqrt(|r_ij|^2 + eps^2) via the Chebyshev proxy
     (includes the j == i self term, exactly like the reference's tile sweep
     -- callers compensate with Gm_i/eps, ref:
@@ -279,7 +284,7 @@ def potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
     jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor")
 )
 def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
-                              heavy_k: int = 1, heavy_factor: float = 100.0):
+                              heavy_k: int = 1, heavy_factor: float = DEFAULT_HEAVY_FACTOR):
     """(Accel, phi): forces and potential sweep in ONE proxy pass.
 
     Shares the bounding box, heavy split, interpolation bases, and P2M
@@ -417,7 +422,7 @@ def heavy_target_phi(qx, qy, qz, gm, hq, soft):
     jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor", "cells")
 )
 def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
-              heavy_factor: float = 100.0, cells: int = 1) -> Accel:
+              heavy_factor: float = DEFAULT_HEAVY_FACTOR, cells: int = 1) -> Accel:
     """All-pairs softened-gravity accelerations via the Chebyshev proxy.
 
     ``cells=2`` splits the domain into 2x2x2 octants with per-octant

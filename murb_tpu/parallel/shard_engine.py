@@ -110,6 +110,13 @@ class ShardedEngine(SimulationEngine):
         # fraction and the small-N fallback threshold.
         if gpu_fraction is None and os.environ.get("MURB_HETERO_GPU_FRACTION"):
             gpu_fraction = float(os.environ["MURB_HETERO_GPU_FRACTION"])
+        if gpu_fraction is not None and not 0.0 < gpu_fraction <= 1.0:
+            # A fraction outside (0, 1] would leave i-rows owned by no shard
+            # (silently zero acceleration) -- reject it loudly (the
+            # reference's hetero engine only meaningfully accepts [0, 1]).
+            raise ValueError(
+                f"gpu_fraction must be in (0, 1], got {gpu_fraction}"
+            )
         if min_n is None:
             min_n = int(os.environ.get("MURB_HETERO_MIN_N", "0") or 0)
         if min_n and bodies.n < min_n:
@@ -121,6 +128,7 @@ class ShardedEngine(SimulationEngine):
             # Pick the Chebyshev order from the initial box (same policy as
             # the single-chip ProxyEngine); fall back to the exact ring mode
             # when the box is too large relative to the softening.
+            from murb_tpu import DEFAULT_SOFTENING
             from murb_tpu.ops.proxy import required_order
 
             d = bodies.unpadded()
@@ -129,7 +137,7 @@ class ShardedEngine(SimulationEngine):
                 (d[kk][sel].max() - d[kk][sel].min()) / 2.0
                 for kk in ("qx", "qy", "qz")
             ) if sel.any() else 1.0
-            soft_val = kwargs.get("soft", 2.0e8)
+            soft_val = kwargs.get("soft", DEFAULT_SOFTENING)
             m = required_order(half * 1.5, soft_val, 1e-4)
             m = (m + 3) // 4 * 4
             if m > 24:
@@ -235,11 +243,13 @@ class ShardedEngine(SimulationEngine):
             p2m,
         )
 
+        from murb_tpu.ops.proxy import DEFAULT_HEAVY_FACTOR
+
         dt = self._dt
         soft = self.soft
         m = self.proxy_m
         k = self.proxy_heavy_k
-        heavy_factor = 100.0
+        heavy_factor = DEFAULT_HEAVY_FACTOR
 
         def step(state: BodyState):
             dtype = state.dtype
@@ -317,6 +327,11 @@ class ShardedEngine(SimulationEngine):
 
     # --------------------------------------------------------- mode: uneven
     def _uneven_local_step(self):
+        """Capability parity with the hetero fraction knob, NOT a scaling
+        mode: every shard computes ``cmax`` rows (the largest share, lane-
+        padded) against the replicated state and masks unowned rows before
+        the psum, so a 0.9 fraction makes every shard do ~90% of the full
+        sweep.  Use allgather/ring/proxy for actual multi-chip scaling."""
         rect = self._local_rect()
         dt = self._dt
         d = self.n_shards

@@ -50,6 +50,11 @@ class MurbConfig:
     ite_chunk: int = 1                       # iterations per device dispatch
     cam_azim: float = 0.0                    # offline renderer camera
     cam_elev: float = 90.0
+    # True when the user passed the flag explicitly (vs. the default).
+    # --load-state uses these to decide whether CLI physics constants
+    # override the checkpoint's saved dt/softening.
+    dt_explicit: bool = False
+    soft_explicit: bool = False
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -69,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
                      help="enable verbose mode.")
     fac.add_argument("-h", "--help", action="help",
                      help="display this help.")
-    fac.add_argument("--dt", dest="dt", type=float, default=3600.0,
+    fac.add_argument("--dt", dest="dt", type=float, default=None,
                      help="select a fixed time step in second (default is 3600 sec).")
     fac.add_argument("--ngs", dest="gs_enable", action="store_false",
                      help="disable geometry-style rendering for visu.")
@@ -83,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
                      help="visualization without colors.")
     fac.add_argument("--im", dest="impl_tag", type=str, default="cpu+naive",
                      help="code implementation tag (see --list-impls).")
-    fac.add_argument("--soft", dest="softening", type=float, default=2.0e8,
+    fac.add_argument("--soft", dest="softening", type=float, default=None,
                      help="softening factor.")
     fac.add_argument("-s", dest="scheme", type=str, default="galaxy",
                      help='bodies scheme ("galaxy", "random" or a two-galaxy .tab file scheme).')
@@ -152,6 +157,12 @@ def parse_args(argv=None) -> MurbConfig:
     ns = build_parser().parse_args(argv)
     if not ns.list_impls and (ns.n_bodies is None or ns.n_iterations is None):
         build_parser().error("the arguments -n and -i are required")
+    ns.dt_explicit = ns.dt is not None
+    ns.soft_explicit = ns.softening is not None
+    if ns.dt is None:
+        ns.dt = 3600.0                       # ref: main.cpp:45
+    if ns.softening is None:
+        ns.softening = 2.0e8                 # ref: main.cpp:47
     if ns.softening == 0.0:
         # ref: main.cpp:152-155
         raise SystemExit("Softening factor can't be equal to 0... exiting.")

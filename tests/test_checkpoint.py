@@ -70,6 +70,36 @@ def test_cli_save_and_load(tmp_path, capsys):
     assert rc == 0 and "Resumed state from" in out
 
 
+def test_cli_resume_carries_physics_and_iteration(tmp_path, capsys):
+    """--load-state defaults dt/soft to the checkpoint's values (unless
+    explicitly overridden) and a later --save-state carries the cumulative
+    iteration count."""
+    from murb_tpu.cli import main
+
+    p1 = str(tmp_path / "c1.npz")
+    rc = main(["-n", "300", "-i", "2", "--im", "cpu+optim", "--nv",
+               "--dt", "1800", "--soft", "1e8", "--save-state", p1])
+    assert rc == 0
+    capsys.readouterr()
+
+    p2 = str(tmp_path / "c2.npz")
+    rc = main(["-n", "300", "-i", "3", "--im", "cpu+optim", "--nv",
+               "--load-state", p1, "--save-state", p2])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dt=1800" in out and "soft=1e+08" in out
+    _, meta = load_state(p2)
+    assert meta["iteration"] == 5            # 2 saved + 3 run
+    assert meta["dt"] == 1800.0 and meta["soft"] == 1e8
+
+    # an explicit CLI flag still wins over the checkpoint value
+    rc = main(["-n", "300", "-i", "1", "--im", "cpu+optim", "--nv",
+               "--load-state", p1, "--dt", "900"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dt=900" in out and "soft=1e+08" in out
+
+
 def test_orbax_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     from murb_tpu.core.checkpoint import load_state_orbax, save_state_orbax

@@ -88,6 +88,26 @@ def test_tracking_scan_run_matches_stepwise():
                                a.history.density_centers, rtol=1e-4)
 
 
+def test_tracking_run_varying_lengths_single_compile():
+    """run() with different lengths reuses ONE compiled program (runtime-
+    bound fori_loop) and still records every history row correctly."""
+    iters = 7
+    bodies = SCHEMES["random"](512, 8)
+    a = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    b = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    a.run(iters)
+    b.run(3)
+    b.run(1)
+    b.run(3)
+    assert len(b._run_cache) == 1  # one cached callable serves all lengths
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-5)
+    np.testing.assert_allclose(b.history.density_centers,
+                               a.history.density_centers, rtol=1e-4)
+
+
 def test_proxy_energy_matches_exact():
     """O(N*m^3) proxy potential vs the exact O(N^2) sweep (galaxy box)."""
     s = SCHEMES["galaxy"](2048, 5)

@@ -95,7 +95,8 @@ def test_cli_dump_traj(tmp_path, capsys):
     assert rc == 0 and "Trajectory written" in out
     idx, pos = read_trajectory(path)
     assert pos.shape[1] == 300
-    assert list(idx) == [2, 4]
+    # frame 0 (the initial conditions) is always recorded
+    assert list(idx) == [0, 2, 4]
 
 
 def test_cli_dump_traj_with_ite_chunk(tmp_path):
@@ -107,4 +108,23 @@ def test_cli_dump_traj_with_ite_chunk(tmp_path):
                "--dump-traj", path, "--dump-every", "2", "--ite-chunk", "4"])
     assert rc == 0
     idx, _pos = read_trajectory(path)
-    assert list(idx) == [2, 4, 6]
+    assert list(idx) == [0, 2, 4, 6]
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_trajectory_short_frame_rejected(tmp_path, force_fallback,
+                                         monkeypatch):
+    """A frame shorter than n_bodies must raise, not corrupt the stream
+    (native path: OOB memcpy; fallback: desynchronized stride)."""
+    if force_fallback:
+        monkeypatch.setattr("murb_tpu.io.get_lib", lambda: None)
+    path = str(tmp_path / f"short_{force_fallback}.traj")
+    w = TrajectoryWriter(path, 100)
+    short = np.zeros(50, np.float32)
+    full = np.zeros(100, np.float32)
+    with pytest.raises(ValueError, match="elements"):
+        w.append(0, short, full, full)
+    w.append(0, full, full, full)  # writer still usable afterwards
+    assert w.close() == 0
+    idx, pos = read_trajectory(path)
+    assert list(idx) == [0] and pos.shape == (1, 100, 3)

@@ -105,6 +105,15 @@ def test_uneven_mode_matches_oracle(frac, n_devices):
                        shards=min(4, n_devices), gpu_fraction=frac)
 
 
+@pytest.mark.parametrize("frac", [-0.1, 0.0, 1.5])
+def test_uneven_rejects_bad_fraction(frac, n_devices):
+    """A fraction outside (0, 1] would leave rows owned by no shard."""
+    bodies = SCHEMES["galaxy"](700, 123)
+    with pytest.raises(ValueError, match="gpu_fraction"):
+        create_engine("hetero", bodies, soft=SOFT, dt=DT,
+                      shards=min(4, n_devices), gpu_fraction=frac)
+
+
 def test_ring_scan_run(n_devices):
     bodies = SCHEMES["random"](800, 3)
     a = create_engine("shard+ring", bodies, soft=SOFT, dt=DT, shards=n_devices)
