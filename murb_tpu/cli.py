@@ -80,18 +80,28 @@ def build_engine(cfg: MurbConfig):
         extra["masks"] = milkyway_andromeda_masks(bodies.npad, bodies.n)
     kernel = cfg.kernel
     proxy_m = 0
+    fmm_levels = 0
     if kernel == "proxy":
         # The proxy order must cover the box; unlike --im tpu+proxy (which
-        # checks and falls back itself) the wrapper engines take a raw
+        # checks and picks a mode itself) the wrapper engines take a raw
         # kernel, so validate here.
         from murb_tpu.ops.proxy import half_extent, required_order
 
         half = half_extent(bodies.unpadded())
         proxy_m = (required_order(half * 1.5, cfg.softening) + 3) // 4 * 4
         if proxy_m > 32:
-            print(f"NOTE: box too large for the proxy kernel "
-                  f"(needs m={proxy_m} > 32); using the exact kernel.")
-            kernel = "auto"
+            print(f"NOTE: box too large for the single-level proxy "
+                  f"(needs m={proxy_m} > 32); using the multi-level fmm "
+                  f"kernel.")
+            kernel = "fmm"
+            proxy_m = 0
+    if kernel == "fmm":
+        from murb_tpu.ops.fmm import fmm_order, required_levels
+        from murb_tpu.ops.proxy import half_extent
+
+        half = half_extent(bodies.unpadded())
+        fmm_levels = required_levels(half, cfg.softening)
+        proxy_m = fmm_order(half, cfg.softening, fmm_levels)
     if canonical == "tpu+tracking" and kernel == "proxy":
         extra["fused_proxy_m"] = proxy_m  # fused force+potential proxy step
     elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
@@ -100,7 +110,7 @@ def build_engine(cfg: MurbConfig):
 
         extra["acc_fn"] = make_acc_fn(
             kernel, block_i=cfg.block_i, block_j=cfg.block_j,
-            chunk=cfg.chunk, m=proxy_m or 16,
+            chunk=cfg.chunk, m=proxy_m or 16, levels=fmm_levels or 2,
         )
     engine = create_engine(
         cfg.impl_tag, bodies,

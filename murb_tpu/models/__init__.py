@@ -86,8 +86,8 @@ def _build_registry():
     register(
         "tpu+proxy",
         lambda b, **kw: E.ProxyEngine(
-            b, **_filter(kw, "m", "cells", "tol", "max_m", "heavy_k",
-                         "box_margin")
+            b, **_filter(kw, "m", "cells", "levels", "tol", "max_m",
+                         "heavy_k", "box_margin")
         ),
         aliases=("fmm", "barnes-hut"),
     )

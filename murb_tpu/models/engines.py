@@ -145,19 +145,25 @@ class MXUEngine(PallasTileEngine):
 
 
 class ProxyEngine(EulerAccelEngine):
-    """Chebyshev-proxy fast solver (O(N*m^3), see ops/proxy.py).
+    """Chebyshev-proxy fast solver family (see ops/proxy.py, ops/fmm.py).
 
-    Picks the Chebyshev order from the initial bounding box and the target
-    force tolerance; when the box is too large relative to the softening for
-    ``m <= max_m`` (e.g. the random scheme), it falls back to the exact
-    hybrid kernel -- check ``engine.using_proxy``.
+    Auto policy from the initial bounding box and force tolerance:
+      * single global expansion (O(N*m^3)) while the box admits m <= 20;
+      * the L-level hierarchy (true bbFMM, ops/fmm.py) for larger
+        box-to-softening ratios -- scale-free, so there is no exact-kernel
+        fallback for big boxes anymore;
+      * the exact hybrid kernel only when N is so small that the node work
+        would dominate (cost model below) -- check ``engine.using_proxy``.
+    ``cells=2`` keeps the legacy octant mode; ``levels=L`` forces the
+    hierarchy explicitly.
     """
 
     tag = "tpu+proxy"
 
     def __init__(self, bodies, soft=None, dt=None, *, m: int = 0,
-                 cells: int = 0, tol: float = 1e-4, max_m: int = 32,
-                 heavy_k: int = 1, box_margin: float = 1.5, **kw):
+                 cells: int = 0, levels: int = 0, tol: float = 1e-4,
+                 max_m: int = 32, heavy_k: int = 1, box_margin: float = 1.5,
+                 **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -167,38 +173,46 @@ class ProxyEngine(EulerAccelEngine):
         if bodies.npad >= 8192:
             bodies = bodies.repad(2048)
         SimulationEngine.__init__(self, bodies, **kwargs, **kw)
+        from murb_tpu.ops.fmm import fmm_order, required_levels
         from murb_tpu.ops.proxy import required_order
 
         round4 = lambda x: (x + 3) // 4 * 4
-        auto = m == 0
+        auto = m == 0 and levels == 0
         if auto:
             from murb_tpu.ops.proxy import half_extent
 
             half = half_extent(self._state.unpadded())
             # Prefer a single global expansion (box-growth margin applied);
-            # fall to the octant (2-level) decomposition for larger boxes
-            # (halving the box is itself the margin there).
+            # larger boxes go to the multi-level hierarchy, whose finest
+            # cells restore a ~ 1 at any scale.
             m1 = round4(required_order(half * box_margin, self.soft, tol))
-            m2 = round4(required_order(half / 2, self.soft, tol))
             if m1 <= 20:
                 m, cells = m1, 1
             else:
-                m, cells = m2, 2
+                levels = required_levels(half, self.soft)
+                m = fmm_order(half, self.soft, levels, tol)
+        elif m and levels == 0 and cells == 0:
+            cells = 1
         self.m = int(m)
+        self.levels = int(levels)
         self.cells = int(cells or 1)
         self.heavy_k = heavy_k
         self.using_proxy = self.m <= max_m
-        if auto and self.using_proxy:  # noqa: SIM102
+        if auto and self.using_proxy:
             # Cost model: the proxy must not be drastically costlier than
-            # the exact sweep (at small N the node sweep dominates).  Rough
+            # the exact sweep (at small N the node work dominates).  Rough
             # op counts; the generous slack keeps the reference's small
             # differential cases (N=2048 galaxy, ~17x) on the proxy path
-            # while rejecting pathological ones (small-N octant mode, ~1000x).
+            # while rejecting pathological ones (small-N multi-cell modes).
             n = self._state.npad
-            p_tot = self.cells**3 * self.m**3
-            est_proxy = self.cells**3 * 8 * n * self.m**3 + 14 * p_tot**2
+            if self.levels:
+                cgrid = 8 ** self.levels
+                est = 8 * n * self.m**3 + 686 * cgrid * self.m**6
+            else:
+                p_tot = self.cells**3 * self.m**3
+                est = self.cells**3 * 8 * n * self.m**3 + 14 * p_tot**2
             est_direct = 14 * n * n
-            if est_proxy > 30 * est_direct:
+            if est > 30 * est_direct:
                 self.using_proxy = False
 
     def _acc_fn(self, qx, qy, qz, gm):
@@ -207,6 +221,11 @@ class ProxyEngine(EulerAccelEngine):
             from murb_tpu.ops.hybrid import acc_hybrid
 
             return acc_hybrid(qx, qy, qz, gm, self.soft, passes=2)
+        if self.levels:
+            from murb_tpu.ops.fmm import acc_fmm
+
+            return acc_fmm(qx, qy, qz, gm, self.soft, m=self.m,
+                           levels=self.levels, heavy_k=self.heavy_k)
         from murb_tpu.ops.proxy import acc_proxy
 
         return acc_proxy(qx, qy, qz, gm, self.soft, m=self.m,
@@ -216,14 +235,19 @@ class ProxyEngine(EulerAccelEngine):
         """Is the design order still adequate for the CURRENT box?  The
         order is compiled in; if the system expanded past the design margin
         this reports the order it would need now (syncs the device)."""
+        from murb_tpu.ops.fmm import fmm_order
         from murb_tpu.ops.proxy import half_extent, required_order
 
         half = half_extent(self._state.unpadded())
-        needed = required_order(half / self.cells, self.soft)
+        if self.levels:
+            needed = fmm_order(half, self.soft, self.levels)
+        else:
+            needed = required_order(half / self.cells, self.soft)
         return {
             "using_proxy": self.using_proxy,
             "m": self.m,
             "cells": self.cells,
+            "levels": self.levels,
             "required_m_now": needed,
             "ok": (not self.using_proxy) or needed <= self.m,
         }

@@ -9,7 +9,8 @@ from functools import partial
 
 
 def make_acc_fn(name: str = "auto", *, block_i: int = 0, block_j: int = 0,
-                chunk: int = 1024, m: int = 16, passes: int = 2):
+                chunk: int = 1024, m: int = 16, passes: int = 2,
+                levels: int = 2):
     """Resolve an acceleration kernel by name.
 
     auto    -- hybrid on TPU, chunked elsewhere
@@ -19,6 +20,7 @@ def make_acc_fn(name: str = "auto", *, block_i: int = 0, block_j: int = 0,
     hybrid  -- Pallas VPU+MXU flagship (exact)
     mxu     -- norm-expansion MXU kernel (experiment)
     proxy   -- Chebyshev proxy fast solver (fixed m; caller owns validity)
+    fmm     -- L-level Chebyshev hierarchy (fixed m/levels; scale-free)
     """
     import jax
 
@@ -49,7 +51,11 @@ def make_acc_fn(name: str = "auto", *, block_i: int = 0, block_j: int = 0,
         from murb_tpu.ops.proxy import acc_proxy
 
         return partial(acc_proxy, m=m)
+    if name == "fmm":
+        from murb_tpu.ops.fmm import acc_fmm
+
+        return partial(acc_fmm, m=m, levels=levels)
     raise ValueError(
         f"unknown kernel {name!r} "
-        "(auto, naive, chunked, tile, hybrid, mxu, proxy)"
+        "(auto, naive, chunked, tile, hybrid, mxu, proxy, fmm)"
     )

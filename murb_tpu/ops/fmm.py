@@ -1,0 +1,404 @@
+"""Multi-level Chebyshev hierarchy (true bbFMM): O(N*m^3 + cells*m^6).
+
+The single-level proxy (ops/proxy.py) needs the Chebyshev order m to grow
+with the box-to-softening ratio; the octant mode buys one halving.  This
+module makes the solver scale-free: an L-level uniform hierarchy of cells
+(2^L per dimension at the finest level) where every stage stays dense and
+matmul-shaped -- the tree code the reference left as a TODO ("Implementare
+barners hut", ref: performance_report.txt:58), built the way the TPU wants:
+no pointers, no traversal, just regular grids and batched contractions.
+
+Pipeline per step (all under one jit):
+
+  P2M   bodies -> finest-level cell expansions W_L (C^3, m^3).  A body's
+        in-cell Chebyshev coordinate is cell-agnostic
+        (t = 2*frac((q - lo)/cellsize) - 1), so the per-body basis outer
+        product is dense work and only the cell-id segment-sum is sparse.
+  M2M   child -> parent expansions, three per-dimension einsums with the
+        scale-invariant (2, m, m) transfer matrices (parent Lagrange basis
+        evaluated at child node positions).
+  M2L   per level l: the node *force* field of every cell accumulates
+        contributions from its offset neighborhood via rolled-grid batched
+        matmuls -- for each offset o the transfer matrices T_o (m^3, m^3)
+        are identical for every cell pair, so one (C^3, m^3) @ (m^3, m^3)
+        matmul per force component handles the whole level.  (Force
+        components directly, NOT potential + spectral differentiation: the
+        far field dominates the node potential but not the force, so
+        differentiating an fp32 potential amplifies roundoff by
+        ~m^2 * |phi| / (h_l * |a|) -- measured as a ~1e-3 error floor that
+        GROWS with m and depth.  The three force matrices share one rsqrt
+        build.)  Level-l pair coverage follows the classic FMM identity
+        pairs(l) = expand(near(l-1)) \\ near(l):
+          * expand list  = all |o|_inf <= 3, where |o_d| = 3 carries a
+            target-parity mask (o_d=+3 pairs have near parents iff the
+            target index is even; -3 iff odd),
+          * near list    = |o|_inf <= 1, subtracted at every level except
+            the finest.
+        Because the softened kernel is analytic everywhere (poles at
+        imaginary distance eps), the finest level's near list -- *including
+        the self cell* -- is handled by the same interpolation: there is no
+        P2P stage at all.  Accuracy per level: same-cell pairs at the finest
+        level need a = eps/h_L >~ 1; separated pairs (|o| >= 2) converge
+        with rho >= 2 + sqrt(5) at ANY level, so coarse levels are never the
+        binding constraint.
+  L2L   parent -> child field interpolation (transpose of M2M).
+  L2P   bodies gather their own cell's field and contract their basis.
+
+Heavy bodies are excluded and corrected exactly, same policy as
+ops/proxy.py.  The oracle comparison lives in tests/test_fmm.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from murb_tpu.ops.common import Accel, pick_block
+from murb_tpu.ops.naive import acc_rect
+from murb_tpu.ops.proxy import (
+    DEFAULT_HEAVY_FACTOR,
+    _basis,
+    _cheb_nodes,
+    bounding_box,
+    heavy_source_acc,
+    heavy_split,
+    required_order,
+)
+
+# fp32 contractions for M2L/L2P: the node potential field mixes terms of
+# oscillating sign (Chebyshev weights), so bf16-input passes are reserved
+# for the anterpolation stages where the interpolation error dominates.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------- host operators
+def _basis_np(t: np.ndarray, m: int) -> np.ndarray:
+    """Lagrange-on-Chebyshev basis S (len(t), m) in float64 (host)."""
+    t = np.clip(np.asarray(t, np.float64), -1.0, 1.0)
+    theta_nodes = np.pi * (np.arange(m) + 0.5) / m
+    j = np.arange(1, m)
+    tj_nodes = np.cos(np.outer(j, theta_nodes))           # (m-1, m)
+    tj_t = np.cos(np.outer(np.arccos(t), j))              # (T, m-1)
+    return 1.0 / m + (2.0 / m) * tj_t @ tj_nodes          # (T, m)
+
+
+@functools.lru_cache(maxsize=None)
+def _m2m_matrix(m: int) -> np.ndarray:
+    """M (2, m, m): M[s, v, u] = parent basis S_u at child node v of child
+    side s (child cells occupy the parent's [-1,0] / [0,1] halves).  Purely
+    geometric, hence identical at every level."""
+    t = _cheb_nodes(m)
+    out = []
+    for s in (0, 1):
+        tp = (2 * s - 1) * 0.5 + 0.5 * t                  # child nodes in parent coords
+        out.append(_basis_np(tp, m))                      # (m nodes, m basis)
+    return np.stack(out).astype(np.float32)               # (2, m, m)
+
+
+@functools.lru_cache(maxsize=None)
+def _offsets_paired(reach: int) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical offset list for the cube |o|_inf <= reach, one entry per
+    {+o, -o} pair -> (offsets (K, 3), neg_valid (K,)).
+
+    The transfer matrices satisfy T_d(-o) = -T_d(o)^T, so each pair shares
+    one build; ``neg_valid`` is 0 for the o = 0 entry (no mirror)."""
+    r = np.arange(-reach, reach + 1)
+    offs = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    canon, neg = [], []
+    for o in offs:
+        first = next((x for x in o if x != 0), 0)
+        if first < 0:
+            continue  # its mirror is canonical
+        canon.append(o)
+        neg.append(0.0 if first == 0 else 1.0)
+    return (np.asarray(canon, np.int32), np.asarray(neg, np.float32))
+
+
+# ------------------------------------------------------------------- P2M
+def _cell_coords(q, lo, cs, C: int):
+    """(cell index (int32), in-cell Chebyshev coordinate in [-1, 1])."""
+    u = (q - lo) / cs
+    cx = jnp.clip(jnp.floor(u), 0.0, C - 1.0)
+    t = 2.0 * (u - cx) - 1.0
+    return cx.astype(jnp.int32), t
+
+
+def p2m_grid(qx, qy, qz, gm_eff, c, h, *, m: int, C: int,
+             chunk: int = 2048):
+    """W (C^3, m^3): per-cell source expansions at the finest level."""
+    n = qx.shape[0]
+    chunk = pick_block(n, min(chunk, n))
+    assert n % chunk == 0, (n, chunk)
+    lo = c - h
+    cs = 2.0 * h / C
+
+    nb = n // chunk
+    resh = lambda a: a.reshape(nb, chunk)
+
+    def one(args):
+        bx, by, bz, bg = args
+        cx, tx = _cell_coords(bx, lo[0], cs[0], C)
+        cy, ty = _cell_coords(by, lo[1], cs[1], C)
+        cz, tz = _cell_coords(bz, lo[2], cs[2], C)
+        sx = _basis(tx, m)                                # (B, m)
+        sy = _basis(ty, m)
+        sz = _basis(tz, m)
+        svw = jnp.einsum("bv,bw->bvw", sy, sz).reshape(chunk, m * m)
+        outer = jnp.einsum(
+            "bu,bp->bup", bg[:, None] * sx, svw
+        ).reshape(chunk, m ** 3)
+        cid = (cx * C + cy) * C + cz
+        return jax.ops.segment_sum(outer, cid, num_segments=C ** 3)
+
+    parts = jax.lax.map(one, (resh(qx), resh(qy), resh(qz), resh(gm_eff)))
+    return jnp.sum(parts, axis=0)                          # (C^3, m^3)
+
+
+# ------------------------------------------------------------- M2M / L2L
+def m2m(w, *, m: int, C: int):
+    """Child expansions (C^3, m^3) -> parent expansions ((C/2)^3, m^3)."""
+    M = jnp.asarray(_m2m_matrix(m), w.dtype)              # (2, m, m)
+    P = C // 2
+    g = w.reshape(C, C, C, m, m, m)
+    # x: (P, 2, C, C, m, m, m) -- contract (side s, child node u) -> parent e
+    g = g.reshape(P, 2, C, C, m, m, m)
+    g = jnp.einsum("xsyzuvw,sue->xyzevw", g, M, precision=_PRECISION)
+    g = g.reshape(P, P, 2, C, m, m, m)
+    g = jnp.einsum("xytzevw,tvf->xyzefw", g, M, precision=_PRECISION)
+    g = g.reshape(P, P, P, 2, m, m, m)
+    g = jnp.einsum("xyzrefw,rwg->xyzefg", g, M, precision=_PRECISION)
+    return g.reshape(P ** 3, m ** 3)
+
+
+def l2l(f, *, m: int, C: int):
+    """Parent field (C^3, m^3) -> child field ((2C)^3, m^3) (M2M transpose)."""
+    M = jnp.asarray(_m2m_matrix(m), f.dtype)              # (2, m, m)
+    g = f.reshape(C, C, C, m, m, m)
+    g = jnp.einsum("xyzefg,rwg->xyzefrw", g, M, precision=_PRECISION)
+    g = jnp.einsum("xyzefrw,tvf->xyzetvrw", g, M, precision=_PRECISION)
+    # emit directly in interleaved (x, s, y, t, z, r, u, v, w) order
+    g = jnp.einsum("xyzetvrw,sue->xsytzruvw", g, M, precision=_PRECISION)
+    return g.reshape((2 * C) ** 3, m ** 3)
+
+
+# ------------------------------------------------------------------- M2L
+def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
+              with_phi: bool = False):
+    """Node force fields (fx, fy, fz[, phi]), each (C^3, m^3), from the
+    level's expansions.
+
+    ``near_only`` selects the 27-offset near list (no parity); otherwise the
+    343-offset expansion list with parity masks on |o_d| = 3.  Out-of-grid
+    offsets read zero-padded weights, so small grids truncate for free.
+    ``with_phi`` adds the node potential as a fourth field (shares the same
+    rsqrt build; used by tracking).
+    """
+    dtype = w.dtype
+    m3 = m ** 3
+    m2 = m * m
+    t = jnp.asarray(_cheb_nodes(m), dtype)                # (m,)
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    wg = w.reshape(C, C, C, m3)
+    wpad = jnp.pad(wg, ((3, 3), (3, 3), (3, 3), (0, 0)))
+    idx = jnp.arange(C)
+    even = (idx % 2) == 0
+
+    offsets, neg_valid = _offsets_paired(1 if near_only else 3)
+    nf = 4 if with_phi else 3
+
+    # Flat per-node coordinate vectors (m^3,) in x-major order; the
+    # displacement matrices are then rank-2 vector broadcasts -- the same
+    # (i, j) pattern as the rect kernels, which the VPU runs at full rate.
+    # (Building (m^3, m^3) via repeat/tile of (m, m) matrices, or via a 6-D
+    # broadcast, lowers to relayout copies: measured 2.3 ms/offset vs
+    # ~0.02 ms for the broadcast form.)
+    pxv = hl[0] * jnp.repeat(t, m2)
+    pyv = hl[1] * jnp.tile(jnp.repeat(t, m), m)
+    pzv = hl[2] * jnp.tile(t, m2)
+
+    def mask_for(o):
+        """Target-parity validity of offset o (|o_d| = 3 needs near
+        parents: +3 iff the target index is even, -3 iff odd)."""
+        mk = lambda od: jnp.where(
+            od == 3, even, jnp.where(od == -3, ~even, True)
+        )
+        return (mk(o[0])[:, None, None]
+                & mk(o[1])[None, :, None]
+                & mk(o[2])[None, None, :]).reshape(C ** 3, 1)
+
+    def shifted(o):
+        ws = jax.lax.dynamic_slice(
+            wpad, (3 + o[0], 3 + o[1], 3 + o[2], jnp.int32(0)),
+            (C, C, C, m3)
+        ).reshape(C ** 3, m3)
+        if not near_only:
+            ws = jnp.where(mask_for(o), ws, jnp.asarray(0.0, dtype))
+        return ws
+
+    def body(acc, op):
+        o, nv = op
+
+        # Delta[u, v] = p_v - p_u = 2 hl o + (pv[v] - pv[u]), per dimension
+        def dmat(pv, d):
+            return 2.0 * hl[d] * o[d].astype(dtype) + (pv[None, :]
+                                                       - pv[:, None])
+
+        Dx, Dy, Dz = dmat(pxv, 0), dmat(pyv, 1), dmat(pzv, 2)  # (m^3, m^3)
+        inv = jax.lax.rsqrt(Dx * Dx + Dy * Dy + Dz * Dz + soft2)
+        inv3 = inv * inv * inv
+        Ts = [Dx * inv3, Dy * inv3, Dz * inv3]
+        if with_phi:
+            Ts.append(inv)
+
+        # +o: f_c += ws(+o) @ T^T.  -o: T(-o) = -T^T (phi: +T^T), so
+        # f_c -+= ws(-o) @ T -- same build, opposite matmul side.
+        wp = shifted(o)
+        wn = shifted(-o) * nv
+        dot = lambda a, b, tr: jax.lax.dot_general(
+            a, b, (((1,), (1 if tr else 0,)), ((), ())),
+            precision=_PRECISION, preferred_element_type=dtype,
+        )
+        out = []
+        for i, T in enumerate(Ts):
+            sign = 1.0 if (with_phi and i == 3) else -1.0
+            out.append(dot(wp, T, True) + sign * dot(wn, T, False))
+        return tuple(a + b for a, b in zip(acc, out)), None
+
+    f0 = tuple(jnp.zeros((C ** 3, m3), dtype) for _ in range(nf))
+    fields, _ = jax.lax.scan(
+        body, f0, (jnp.asarray(offsets), jnp.asarray(neg_valid))
+    )
+    return fields
+
+
+# --------------------------------------------------------- downward pass
+def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
+                   with_phi: bool = False):
+    """Finest-level node force fields (fx, fy, fz[, phi]) via the full
+    hierarchy: coarser expansions by M2M, per-level expand-minus-near M2L,
+    fields interpolated down with L2L."""
+    ws = {levels: w_finest}
+    for l in range(levels - 1, 0, -1):
+        ws[l] = m2m(ws[l + 1], m=m, C=2 ** (l + 1))
+
+    l0 = min(2, levels)  # level 1's expand and near lists coincide (C=2)
+    f = None
+    for l in range(l0, levels + 1):
+        C = 2 ** l
+        hl = h / C
+        if f is not None:
+            f = tuple(l2l(fd, m=m, C=C // 2) for fd in f)
+        contrib = m2l_level(ws[l], hl, soft, m=m, C=C, with_phi=with_phi)
+        f = contrib if f is None else tuple(
+            a + b for a, b in zip(f, contrib)
+        )
+        if l < levels:
+            near = m2l_level(ws[l], hl, soft, m=m, C=C, near_only=True,
+                             with_phi=with_phi)
+            f = tuple(a - b for a, b in zip(f, near))
+    return f
+
+
+# ------------------------------------------------------------------- L2P
+def l2p_grid(qx, qy, qz, c, h, fields, *, m: int, C: int,
+             chunk: int = 2048):
+    """Interpolate per-cell node fields back to the bodies.
+
+    ``fields``: tuple of (C^3, m^3) arrays -> tuple of (n,) body values.
+    Each body gathers only its own cell's field (no cross-cell blending:
+    cell membership is exact, matching P2M's segment assignment).
+    """
+    n = qx.shape[0]
+    chunk = pick_block(n, min(chunk, n))
+    lo = c - h
+    cs = 2.0 * h / C
+    nb = n // chunk
+    resh = lambda a: a.reshape(nb, chunk)
+    k = len(fields)
+
+    def one(args):
+        bx, by, bz = args
+        cx, tx = _cell_coords(bx, lo[0], cs[0], C)
+        cy, ty = _cell_coords(by, lo[1], cs[1], C)
+        cz, tz = _cell_coords(bz, lo[2], cs[2], C)
+        sx = _basis(tx, m)
+        sy = _basis(ty, m)
+        sz = _basis(tz, m)
+        cid = (cx * C + cy) * C + cz
+        outs = []
+        for f in fields:
+            fg = f[cid].reshape(chunk, m, m * m)          # own-cell gather
+            t1 = jnp.einsum("bu,bup->bp", sx, fg,
+                            precision=_PRECISION).reshape(chunk, m, m)
+            t2 = jnp.einsum("bv,bvw->bw", sy, t1, precision=_PRECISION)
+            outs.append(jnp.sum(sz * t2, axis=1))
+        return tuple(outs)
+
+    outs = jax.lax.map(one, (resh(qx), resh(qy), resh(qz)))
+    assert len(outs) == k
+    return tuple(o.reshape(n) for o in outs)
+
+
+# ------------------------------------------------------------- top level
+def required_levels(halfwidth: float, soft: float, *, a_target: float = 1.0,
+                    max_levels: int = 4) -> int:
+    """Hierarchy depth so the finest cells satisfy eps/h_L >= a_target."""
+    if halfwidth <= soft * a_target:
+        return 1
+    return min(int(math.ceil(math.log2(halfwidth * a_target / soft))),
+               max_levels)
+
+
+def fmm_order(halfwidth: float, soft: float, levels: int,
+              tol: float = 1e-4) -> int:
+    """Chebyshev order for the hierarchical solver: the binding constraint
+    is the same-cell interpolation at the finest level (separated pairs at
+    any level converge with rho >= 2 + sqrt(5), always faster).
+
+    margin=0 (vs the single-level default of 2): the measured error sits
+    ~1.5 orders below the bound (tests/test_fmm.py), m^6 terms dominate the
+    M2L cost, and box growth is caught by proxy_health / the adaptive
+    rebuild rather than a permanently padded order."""
+    return required_order(halfwidth / 2 ** levels, soft, tol, margin=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor"),
+)
+def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
+            heavy_k: int = 1,
+            heavy_factor: float = DEFAULT_HEAVY_FACTOR) -> Accel:
+    """All-pairs softened-gravity accelerations via the L-level hierarchy.
+
+    Same outer contract as ops/proxy.acc_proxy: heavy bodies are excluded
+    from the far field and corrected exactly (as sources via an N x k sweep,
+    as targets via a k x N sweep)."""
+    dtype = qx.dtype
+    n = qx.shape[0]
+    gm_pos = gm > 0
+    C = 2 ** levels
+
+    c, h = bounding_box(qx, qy, qz, gm_pos)
+
+    k = max(min(heavy_k, n), 1)
+    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
+    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
+        qx, qy, qz, gm, k, heavy_factor, mean_gm
+    )
+
+    w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
+    fx, fy, fz = fmm_field_grid(w, h, soft, m=m, levels=levels)
+    ax, ay, az = l2p_grid(qx, qy, qz, c, h, (fx, fy, fz), m=m, C=C)
+    acc = jnp.stack([ax, ay, az], axis=1)
+
+    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
+    ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
+    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
+    acc = acc.at[top_idx].set(
+        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
+    )
+    return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])

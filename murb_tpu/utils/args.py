@@ -145,7 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
                           "top-down xy view).")
     ext.add_argument("--kernel", type=str, default="auto",
                      help="acceleration kernel for tracking/leapfrog/kdk "
-                          "engines: auto|naive|chunked|tile|hybrid|mxu|proxy.")
+                          "engines: auto|naive|chunked|tile|hybrid|mxu|"
+                          "proxy|fmm.")
     ext.add_argument("--check-finite", dest="check_finite", action="store_true",
                      help="abort with a clear error if the state goes "
                           "NaN/Inf (fail-fast debug mode; adds a device "

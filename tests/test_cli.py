@@ -121,9 +121,18 @@ def test_cli_scan_single_iteration(capsys):
 
 
 def test_cli_kernel_proxy_validity_fallback(capsys):
-    """--kernel proxy on a wide-box scheme must not silently use m=16."""
+    """--kernel proxy on a wide-box scheme must not silently use m=16; it
+    routes to the scale-free multi-level fmm kernel."""
     rc = main(["-n", "300", "-i", "1", "--im", "gpu+tracking", "--nv",
                "-s", "random", "--kernel", "proxy"])
     out = capsys.readouterr().out
     assert rc == 0
-    assert "using the exact kernel" in out
+    assert "using the multi-level fmm kernel" in out
+
+
+def test_cli_kernel_fmm(capsys):
+    """--kernel fmm wires the hierarchical solver into wrapper engines."""
+    rc = main(["-n", "300", "-i", "1", "--im", "gpu+tracking", "--nv",
+               "-s", "random", "--kernel", "fmm"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Simulation ended." in out
