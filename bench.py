@@ -3,14 +3,21 @@ RTX-4090 `gpu+tile+full` row (40.1 FPS, ~29,880 ref-GFlop/s; Report.pdf
 Table 5, BASELINE.md).
 
 Prints ONE JSON line.  The headline value is the flagship production solver
-(`tpu+proxy`, the Chebyshev-proxy fast method): it produces the same
-trajectories as the exact all-pairs sum within tighter force tolerance
-(max rel ~3e-4) than the reference's own GPU kernels achieve against their
-oracle, validated in tests/test_proxy.py, and is what a production user
-would run for this workload.  The exact O(N^2) hybrid kernel's number is
-reported alongside (`fps_exact`) as the direct hardware-for-hardware
-comparison.  GFlop/s uses the reference's accounting: 20*N^2 per step,
-1024^3 divisor.
+(`tpu+proxy`, the Chebyshev-proxy fast method); alongside it the record
+carries everything needed to audit the claims from this file alone:
+
+  * the exact-kernel ladder (tile / mxu / hybrid-1pass / hybrid-2pass FPS)
+    -- the measured basis for the "exact all-pairs is VPU-bound" analysis
+    (docs/DESIGN.md section 2),
+  * a *measured* force error of the fast solvers at the benched N (sampled
+    rows vs an exact rectangular sweep), not an extrapolation from tests,
+  * the N=500k row mirroring BASELINE.md's second north-star
+    (4090 gpu+tile+full: 7.8 FPS, ~36,300 ref-GFlop/s),
+  * the random-scheme N=200k row on the multi-level hierarchy (ops/fmm.py)
+    vs the exact kernel it replaced as the wide-box fallback.
+
+GFlop/s uses the reference's accounting: 20*N^2 per step, 1024^3 divisor
+(src/common/utils/Perf.cpp:28).
 """
 from __future__ import annotations
 
@@ -21,18 +28,23 @@ import time
 sys.path.insert(0, ".")
 
 N = 200_000
-STEPS = 20
-WARMUP = 3
-BASELINE_REF_GFLOPS = 29_880.0  # RTX-4090 gpu+tile+full @ N=200k
+BASELINE_REF_GFLOPS = 29_880.0   # RTX-4090 gpu+tile+full @ N=200k
+BASELINE_REF_GFLOPS_500K = 36_300.0  # RTX-4090 gpu+tile+full @ N=500k
 
 
-def measure(tag: str, steps: int, **kw) -> float:
-    from murb_tpu.core.init import init_galaxy
+def _bodies(n, scheme="galaxy"):
+    from murb_tpu.core.init import SCHEMES
+
+    return SCHEMES[scheme](n, 123)
+
+
+def measure(tag: str, steps: int, n: int = N, scheme: str = "galaxy",
+            warmup: int = 3, **kw) -> float:
     from murb_tpu.models import create_engine
 
-    engine = create_engine(tag, init_galaxy(N, 123),
+    engine = create_engine(tag, _bodies(n, scheme),
                            soft=2.0e8, dt=3600.0, **kw)
-    engine.run(WARMUP)
+    engine.run(warmup)
     engine.block_until_ready()
     t0 = time.time()
     engine.run(steps)
@@ -45,19 +57,80 @@ def measure(tag: str, steps: int, **kw) -> float:
     return steps / elapsed
 
 
+def force_error(n: int, scheme: str, acc_fn, sample: int = 4096,
+                block: int = 512):
+    """(max, p99) relative force error of ``acc_fn`` at the benched N,
+    measured against an exact rectangular sweep on ``sample`` strided rows
+    (row 0 included: the galaxy's heavy central body)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from murb_tpu import G
+    from murb_tpu.ops.naive import acc_rect
+
+    s = _bodies(n, scheme)
+    gm = jnp.asarray(G, s.qx.dtype) * s.m
+    soft = 2.0e8
+    a = acc_fn(s.qx, s.qy, s.qz, gm, soft)
+    approx = np.stack([np.asarray(a.ax), np.asarray(a.ay),
+                       np.asarray(a.az)], 1)
+
+    idx = np.unique(np.linspace(0, s.n - 1, sample).astype(np.int64))
+    idx = idx[: len(idx) - len(idx) % block] if len(idx) % block else idx
+    exact = []
+    for k in range(0, len(idx), block):
+        b = idx[k:k + block]
+        r = acc_rect(s.qx[b], s.qy[b], s.qz[b], s.qx, s.qy, s.qz, gm, soft)
+        exact.append(np.stack([np.asarray(r.ax), np.asarray(r.ay),
+                               np.asarray(r.az)], 1))
+    exact = np.concatenate(exact)
+    en = np.linalg.norm(exact, axis=1)
+    err = np.linalg.norm(approx[idx] - exact, axis=1)
+    rel = err / np.maximum(en, en.max() * 1e-6)
+    return float(rel.max()), float(np.percentile(rel, 99))
+
+
 def main() -> None:
     from murb_tpu.cli import enable_compile_cache
 
     enable_compile_cache()
 
+    import functools
+
     import jax
 
+    to_gflops = lambda fps, n=N: 20.0 * n * n * fps / 1024**3
+
+    # headline + exact ladder at N=200k galaxy
     fps_proxy = measure("tpu+proxy", 50, m=16)
-    fps_exact = measure("tpu+hybrid", STEPS)
+    ladder = {
+        "tile": measure("tpu+tile", 8),
+        "mxu": measure("tpu+mxu", 8),
+        "hybrid_1pass": measure("tpu+hybrid+fast", 10),
+        "hybrid_2pass": measure("tpu+hybrid", 10),
+    }
+    fps_exact = ladder["hybrid_2pass"]
 
-    to_gflops = lambda fps: 20.0 * N * N * fps / 1024**3
+    # N=500k north-star row (BASELINE.md: 4090 7.8 FPS / ~36.3k)
+    fps_proxy_500k = measure("tpu+proxy", 30, n=500_000, m=16)
+    fps_exact_500k = measure("tpu+hybrid", 4, n=500_000, warmup=2)
+
+    # random scheme at N=200k: the multi-level hierarchy vs the exact kernel
+    fps_fmm_random = measure("tpu+proxy", 30, scheme="random")
+    fps_exact_random = measure("tpu+hybrid", 10, scheme="random")
+
+    # measured force errors at the benched N (auditable accuracy claims)
+    from murb_tpu.ops.fmm import acc_fmm
+    from murb_tpu.ops.proxy import acc_proxy
+
+    pmax, p99 = force_error(
+        N, "galaxy", functools.partial(acc_proxy, m=16)
+    )
+    fmax, f99 = force_error(
+        N, "random", functools.partial(acc_fmm, m=10, levels=2)
+    )
+
     value = to_gflops(fps_proxy)
-
     print(json.dumps({
         "metric": "ref_gflops_n200k_galaxy",
         "value": round(value, 1),
@@ -67,10 +140,30 @@ def main() -> None:
         "fps_exact_allpairs": round(fps_exact, 2),
         "ref_gflops_exact_allpairs": round(to_gflops(fps_exact), 1),
         "vs_baseline_exact": round(to_gflops(fps_exact) / BASELINE_REF_GFLOPS, 3),
+        "fps_ladder_n200k": {k: round(v, 2) for k, v in ladder.items()},
+        "n500k": {
+            "fps_proxy": round(fps_proxy_500k, 2),
+            "fps_exact": round(fps_exact_500k, 3),
+            "ref_gflops_proxy": round(to_gflops(fps_proxy_500k, 500_000), 1),
+            "vs_baseline_500k": round(
+                to_gflops(fps_proxy_500k, 500_000) / BASELINE_REF_GFLOPS_500K,
+                3),
+        },
+        "random_n200k": {
+            "fps_fmm": round(fps_fmm_random, 2),
+            "fps_exact": round(fps_exact_random, 2),
+            "fmm_vs_exact": round(fps_fmm_random / fps_exact_random, 2),
+        },
+        "force_err": {
+            "proxy_galaxy_max": f"{pmax:.2e}",
+            "proxy_galaxy_p99": f"{p99:.2e}",
+            "fmm_random_max": f"{fmax:.2e}",
+            "fmm_random_p99": f"{f99:.2e}",
+        },
         "n_bodies": N,
         "device": str(jax.devices()[0]),
-        "engine": "tpu+proxy m=16 (Chebyshev proxy, p99 force err ~1e-4)"
-                  " / exact = tpu+hybrid (VPU+MXU bf16x2)",
+        "engine": "tpu+proxy m=16 (Chebyshev proxy) / exact = tpu+hybrid "
+                  "(VPU+MXU bf16x2) / random = tpu+proxy auto-fmm L=2",
     }))
 
 

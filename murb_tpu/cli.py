@@ -118,6 +118,7 @@ def build_engine(cfg: MurbConfig):
         num_iterations=cfg.n_iterations,
         chunk=cfg.chunk, block_i=cfg.block_i, block_j=cfg.block_j,
         shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
+        adapt_every=cfg.adapt_every,
         **extra,
     )
     return engine, start_iteration

@@ -87,7 +87,7 @@ def _build_registry():
         "tpu+proxy",
         lambda b, **kw: E.ProxyEngine(
             b, **_filter(kw, "m", "cells", "levels", "tol", "max_m",
-                         "heavy_k", "box_margin")
+                         "heavy_k", "box_margin", "adapt_every", "cost_slack")
         ),
         aliases=("fmm", "barnes-hut"),
     )

@@ -163,7 +163,7 @@ class ProxyEngine(EulerAccelEngine):
     def __init__(self, bodies, soft=None, dt=None, *, m: int = 0,
                  cells: int = 0, levels: int = 0, tol: float = 1e-4,
                  max_m: int = 32, heavy_k: int = 1, box_margin: float = 1.5,
-                 **kw):
+                 adapt_every: int = 0, cost_slack: float = 30.0, **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -173,32 +173,47 @@ class ProxyEngine(EulerAccelEngine):
         if bodies.npad >= 8192:
             bodies = bodies.repad(2048)
         SimulationEngine.__init__(self, bodies, **kwargs, **kw)
+        self.tol = tol
+        self.max_m = max_m
+        self.box_margin = box_margin
+        self.heavy_k = heavy_k
+        self.adapt_every = int(adapt_every)
+        self.cost_slack = cost_slack
+        self._auto = m == 0 and levels == 0
+        if self._auto:
+            self._configure()
+        else:
+            if m and levels == 0 and cells == 0:
+                cells = 1
+            self.m = int(m)
+            self.levels = int(levels)
+            self.cells = int(cells or 1)
+            self.using_proxy = self.m <= max_m
+
+    def _configure(self) -> None:
+        """Derive (m, levels/cells, using_proxy) from the CURRENT box --
+        the auto policy, shared by construction and mid-run adaptation."""
         from murb_tpu.ops.fmm import fmm_order, required_levels
-        from murb_tpu.ops.proxy import required_order
+        from murb_tpu.ops.proxy import half_extent, required_order
 
         round4 = lambda x: (x + 3) // 4 * 4
-        auto = m == 0 and levels == 0
-        if auto:
-            from murb_tpu.ops.proxy import half_extent
-
-            half = half_extent(self._state.unpadded())
-            # Prefer a single global expansion (box-growth margin applied);
-            # larger boxes go to the multi-level hierarchy, whose finest
-            # cells restore a ~ 1 at any scale.
-            m1 = round4(required_order(half * box_margin, self.soft, tol))
-            if m1 <= 20:
-                m, cells = m1, 1
-            else:
-                levels = required_levels(half, self.soft)
-                m = fmm_order(half, self.soft, levels, tol)
-        elif m and levels == 0 and cells == 0:
+        half = half_extent(self._state.unpadded())
+        # Prefer a single global expansion (box-growth margin applied);
+        # larger boxes go to the multi-level hierarchy, whose finest
+        # cells restore a ~ 1 at any scale.
+        m1 = round4(required_order(half * self.box_margin, self.soft,
+                                   self.tol))
+        if m1 <= 20:
+            m, levels, cells = m1, 0, 1
+        else:
+            levels = required_levels(half, self.soft)
+            m = fmm_order(half, self.soft, levels, self.tol)
             cells = 1
         self.m = int(m)
         self.levels = int(levels)
-        self.cells = int(cells or 1)
-        self.heavy_k = heavy_k
-        self.using_proxy = self.m <= max_m
-        if auto and self.using_proxy:
+        self.cells = int(cells)
+        self.using_proxy = self.m <= self.max_m
+        if self.using_proxy:
             # Cost model: the proxy must not be drastically costlier than
             # the exact sweep (at small N the node work dominates).  Rough
             # op counts; the generous slack keeps the reference's small
@@ -212,8 +227,44 @@ class ProxyEngine(EulerAccelEngine):
                 p_tot = self.cells**3 * self.m**3
                 est = self.cells**3 * 8 * n * self.m**3 + 14 * p_tot**2
             est_direct = 14 * n * n
-            if est > 30 * est_direct:
+            if est > self.cost_slack * est_direct:
                 self.using_proxy = False
+
+    def maybe_adapt(self) -> bool:
+        """Mid-run order adaptation: when the system expanded past the
+        compiled order's validity (proxy_health not ok), re-derive the mode
+        from the current box and rebuild the jitted step.  Returns True if
+        the engine was reconfigured.  Only grows/changes on *invalid*
+        configs -- a valid one is never churned (no compile oscillation).
+        Syncs the device; call between frames, not inside jit."""
+        if not self._auto or self.proxy_health()["ok"]:
+            return False
+        old = (self.m, self.levels, self.cells, self.using_proxy)
+        self._configure()
+        if (self.m, self.levels, self.cells, self.using_proxy) == old:
+            return False
+        self._step = None
+        self._run_cache.clear()
+        return True
+
+    def compute_one_iteration(self) -> None:
+        if (self.adapt_every and self._iteration
+                and self._iteration % self.adapt_every == 0):
+            self.maybe_adapt()
+        super().compute_one_iteration()
+
+    def run(self, n_iterations: int) -> None:
+        if not self.adapt_every:
+            return super().run(n_iterations)
+        # segment the loop so adaptation checkpoints land every adapt_every
+        done = 0
+        while done < n_iterations:
+            until_check = self.adapt_every - self._iteration % self.adapt_every
+            k = min(until_check, n_iterations - done)
+            super().run(k)
+            done += k
+            if done < n_iterations:
+                self.maybe_adapt()
 
     def _acc_fn(self, qx, qy, qz, gm):
         if not self.using_proxy:

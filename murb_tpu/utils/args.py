@@ -55,6 +55,7 @@ class MurbConfig:
     # override the checkpoint's saved dt/softening.
     dt_explicit: bool = False
     soft_explicit: bool = False
+    adapt_every: int = 0                     # proxy-order re-check period
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -147,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="acceleration kernel for tracking/leapfrog/kdk "
                           "engines: auto|naive|chunked|tile|hybrid|mxu|"
                           "proxy|fmm.")
+    ext.add_argument("--adapt-every", dest="adapt_every", type=int, default=0,
+                     help="re-derive the proxy/fmm order from the current "
+                          "box every K iterations and rebuild the step if "
+                          "the system outgrew it (0 = off; tpu+proxy only).")
     ext.add_argument("--check-finite", dest="check_finite", action="store_true",
                      help="abort with a clear error if the state goes "
                           "NaN/Inf (fail-fast debug mode; adds a device "

@@ -198,6 +198,51 @@ def test_proxy_health_reports_fmm_mode():
     assert h["levels"] == 2 and h["using_proxy"] and h["ok"]
 
 
+def test_adaptive_order_expanding_system():
+    """An expanding system must keep force error <= tol across the
+    transition: --adapt-every re-derives the order/mode from the current
+    box and rebuilds the step mid-run (instead of the round-1 behavior of
+    warning after the run)."""
+    import dataclasses
+
+    bodies = SCHEMES["random"](1024, 3)
+    # shrink the box to ~2e8 half-width and expand radially ~3x by step 9
+    # (velocities are fixed, so growth is linear in the step count)
+    scale = 0.30
+    rate = 2.0 / (9.0 * DT)
+    fields = {k: getattr(bodies, k) * scale for k in ("qx", "qy", "qz")}
+    fields.update({f"v{d}": fields[f"q{d}"] * rate for d in "xyz"})
+    b = dataclasses.replace(bodies, **fields)
+
+    e = create_engine("tpu+proxy", b, soft=SOFT, dt=DT, adapt_every=3,
+                      cost_slack=1e9)
+    assert e.levels == 0 and e.using_proxy   # starts single-level
+    m0 = e.m
+    e.run(12)
+    assert (e.levels, e.m) != (0, m0)        # reconfigured mid-run
+    e.maybe_adapt()                          # settle any trailing growth
+    assert e.proxy_health()["ok"]
+
+    # force error at the expanded state stays within the 1e-3 tolerance
+    d = e.bodies
+    gm = jnp.asarray(G, d.qx.dtype) * d.m
+    ref = acc_naive(d.qx, d.qy, d.qz, gm, SOFT)
+    a = fmm.acc_fmm(d.qx, d.qy, d.qz, gm, SOFT, m=e.m,
+                    levels=max(e.levels, 1))
+    rel = _rel_force_err(a, ref, d.m)
+    assert rel.max() < 1e-3, rel.max()
+
+
+def test_maybe_adapt_no_churn_when_valid():
+    """A valid configuration is never rebuilt (no compile oscillation)."""
+    bodies = SCHEMES["galaxy"](1024, 5)
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, adapt_every=2)
+    cfg = (e.m, e.levels, e.cells, e.using_proxy)
+    e.run(4)
+    assert not e.maybe_adapt()
+    assert (e.m, e.levels, e.cells, e.using_proxy) == cfg
+
+
 def test_required_levels_policy():
     assert fmm.required_levels(1.0e8, SOFT) == 1          # small box
     assert fmm.required_levels(6.6e8, SOFT) == 2          # random scheme
