@@ -145,7 +145,14 @@ def print_banner(cfg: MurbConfig, engine) -> None:
 
 
 def main(argv=None) -> int:
+    import os
+
     cfg = parse_args(argv)
+    if os.environ.get("MURB_FORCE_CPU"):
+        # The TPU plugin force-selects itself regardless of JAX_PLATFORMS;
+        # multi-process smoke runs (scripts/run_multihost.sh) need the CPU
+        # backend forced in-process before first backend use.
+        jax.config.update("jax_platforms", "cpu")
     enable_compile_cache()
 
     from murb_tpu.parallel.mesh import maybe_init_distributed
