@@ -105,7 +105,7 @@ def build_engine(cfg: MurbConfig):
     if canonical == "tpu+tracking" and kernel == "proxy":
         extra["fused_proxy_m"] = proxy_m  # fused force+potential proxy step
     elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
-                       "tpu+kdk"):
+                       "tpu+leapfrog+tracking", "tpu+kdk"):
         from murb_tpu.ops import make_acc_fn
 
         extra["acc_fn"] = make_acc_fn(

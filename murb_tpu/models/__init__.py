@@ -125,6 +125,14 @@ def _build_registry():
         aliases=("gpu+leapfrog",),
     )
     register(
+        "tpu+leapfrog+tracking",
+        lambda b, **kw: E.LeapfrogTrackingEngine(
+            b, **_filter(kw, "num_iterations", "history", "acc_fn",
+                         "metric_dtype", "metrics_method", "metrics_proxy_m")
+        ),
+        aliases=("gpu+leapfrog+tracking",),
+    )
+    register(
         "tpu+kdk",
         lambda b, **kw: E.KDKEngine(b, **_filter(kw, "acc_fn")),
     )

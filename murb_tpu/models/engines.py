@@ -444,6 +444,139 @@ class LeapfrogEngine(SimulationEngine):
             self.compute_one_iteration()  # last phase(s)
 
 
+class LeapfrogTrackingEngine(LeapfrogEngine):
+    """Phase-split leapfrog WITH fused conserved-quantity tracking -- the
+    capability the reference ships disabled (its leapfrog engine carries
+    metrics kernels that are commented out, ref:
+    SimulationNBodyCUDALeapfrog.cu:140-143).
+
+    Metrics are evaluated at the *visible* state each phase produces, which
+    for middle phases is the synchronized (x_n, v_n) pair -- the physically
+    meaningful point for energy/|L| (half-step velocities would mix time
+    levels).  Under ``run()`` the middle phases collapse into one fori_loop
+    writing metrics into a capacity-sized device buffer, same structure as
+    TrackingEngine._tracked_run_loop.
+    """
+
+    tag = "tpu+leapfrog+tracking"
+
+    def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
+                 history: SimulationHistory | None = None, acc_fn=None,
+                 metric_dtype=jnp.float32, metrics_method: str = "exact",
+                 metrics_proxy_m: int = 16, **kw):
+        super().__init__(bodies, soft, dt, num_iterations=num_iterations,
+                         acc_fn=acc_fn, **kw)
+        self.history = history or SimulationHistory(num_iterations)
+        if self.history.num_iterations < num_iterations:
+            self.history.set_num_iterations(num_iterations)
+        self._metric_dtype = metric_dtype
+        self._metrics_method = metrics_method
+        self._metrics_proxy_m = metrics_proxy_m
+
+    def _metrics(self, state):
+        return metrics_mod.all_metrics(
+            state, self.soft, out_dtype=self._metric_dtype,
+            method=self._metrics_method, proxy_m=self._metrics_proxy_m,
+        )
+
+    def _build_phase_steps(self):
+        dt = self._dt
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def first(state, aux):
+            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
+            ns, na = leapfrog_first(state, aux, acc, dt)
+            return ns, na, acc, self._metrics(ns)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def middle(state, aux):
+            acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz, self._gm(state))
+            ns, na = leapfrog_middle(state, aux, acc, dt)
+            return ns, na, acc, self._metrics(ns)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def last(state, aux):
+            acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz, self._gm(state))
+            ns, na = leapfrog_last(state, aux)
+            return ns, na, acc, self._metrics(ns)
+
+        return first, middle, last
+
+    def _record(self, i, mets):
+        if i >= self.history.num_iterations:
+            return
+        e, l, dc = mets
+        self.history.set_energy_at(i, float(e))
+        self.history.set_ang_momentum_at(i, float(l))
+        self.history.set_density_center_at(i, jax.device_get(dc))
+
+    def compute_one_iteration(self):
+        if self._phase_steps is None:
+            self._phase_steps = self._build_phase_steps()
+        first, middle, last = self._phase_steps
+        if self._iteration == 0:
+            fn = first
+        elif self._iteration < self.num_iterations - 1:
+            fn = middle
+        else:
+            fn = last
+        self._state, self._aux, self._last_acc, mets = fn(
+            self._state, self._aux
+        )
+        self._record(self._iteration, mets)
+        self._iteration += 1
+
+    def run(self, n_iterations: int) -> None:
+        end = self._iteration + n_iterations
+        if self._iteration == 0 and end > self._iteration:
+            self.compute_one_iteration()  # first phase (records row 0)
+        n_mid = min(end, self.num_iterations - 1) - self._iteration
+        if n_mid > 0:
+            fn = self._run_cache.get("midloop")
+            if fn is None:
+                dt = self._dt
+                cap = max(int(self.history.num_iterations), 1)
+                mets_shape = jax.eval_shape(self._metrics, self._state)
+
+                def body(k, carry):
+                    state, aux, bufs = carry
+                    acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz,
+                                       self._gm(state))
+                    state, aux = leapfrog_middle(state, aux, acc, dt)
+                    mets = self._metrics(state)
+                    k_safe = jnp.minimum(k, cap - 1)
+                    valid = k < cap
+
+                    def write(b, v):
+                        v = jnp.where(valid, v.astype(b.dtype), b[k_safe])
+                        return jax.lax.dynamic_update_index_in_dim(
+                            b, v, k_safe, 0
+                        )
+
+                    return state, aux, jax.tree.map(write, bufs, mets)
+
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def run_mid(state, aux, n):
+                    bufs0 = jax.tree.map(
+                        lambda s: jnp.zeros((cap,) + s.shape, s.dtype),
+                        mets_shape,
+                    )
+                    return jax.lax.fori_loop(0, n, body, (state, aux, bufs0))
+
+                fn = self._run_cache["midloop"] = run_mid
+            self._state, self._aux, (es, ls, dcs) = fn(
+                self._state, self._aux, n_mid
+            )
+            es, ls, dcs = jax.device_get((es, ls, dcs))
+            i0 = self._iteration
+            for k in range(min(n_mid, len(es))):
+                self._record(i0 + k, (es[k], ls[k], dcs[k]))
+            self._last_acc = None
+            self._iteration += n_mid
+        while self._iteration < end:
+            self.compute_one_iteration()  # last phase(s)
+
+
 class TrackingEngine(EulerAccelEngine):
     """Euler engine that records (energy, |L|, density center) every iteration
     (ref: SimulationNBodyCUDAPropertyTracking.cu:121-133).  Metrics are fused

@@ -87,6 +87,57 @@ def test_leapfrog_run_matches_stepwise():
         assert_within_rel(db[c], da[c], 1e-6, f"leapfrog run vs stepwise {c}")
 
 
+def test_leapfrog_tracking_matches_untracked_trajectory():
+    """The fused metrics must not perturb the integrator."""
+    bodies = SCHEMES["random"](512, 5)
+    iters = 6
+    a = create_engine("tpu+leapfrog", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    b = create_engine("tpu+leapfrog+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    a.run(iters)
+    b.run(iters)
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    np.testing.assert_array_equal(db["qx"], da["qx"])
+    np.testing.assert_array_equal(db["vx"], da["vx"])
+
+
+def test_leapfrog_tracking_run_matches_stepwise_history():
+    bodies = SCHEMES["random"](512, 7)
+    iters = 7
+    a = create_engine("tpu+leapfrog+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    b = create_engine("tpu+leapfrog+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters)
+    for _ in range(iters):
+        a.compute_one_iteration()
+    b.run(iters)
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-5)
+    np.testing.assert_allclose(b.history.density_centers,
+                               a.history.density_centers, rtol=1e-4)
+
+
+def test_leapfrog_tracking_drift_vs_euler_tracking():
+    """The completed reference capability (leapfrog + metrics, disabled in
+    the reference): symplectic drift must not exceed Euler-tracking drift.
+    Uses an amplified timestep so Euler drifts measurably."""
+    n, iters = 512, 40
+    bodies = SCHEMES["galaxy"](n, 9)
+    eu = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT * 50,
+                       num_iterations=iters)
+    lf = create_engine("tpu+leapfrog+tracking", bodies, soft=SOFT,
+                       dt=DT * 50, num_iterations=iters)
+    eu.run(iters)
+    lf.run(iters)
+    # both histories start from (x0, v0): row 0 of the leapfrog history is
+    # the first phase (visible state unchanged)
+    e_eu, e_lf = eu.history.energies, lf.history.energies
+    drift_euler = abs(e_eu[-1] - e_eu[0])
+    drift_leap = abs(e_lf[-1] - e_lf[0])
+    assert drift_leap <= drift_euler * 1.5, (drift_leap, drift_euler)
+
+
 def test_leapfrog_last_phase():
     bodies = SCHEMES["random"](256, 4)
     iters = 3
