@@ -145,7 +145,8 @@ def _build_registry():
 
             return ShardedEngine(
                 b, mode=mode,
-                **_filter(kw, "shards", "gpu_fraction", "block_i", "block_j"),
+                **_filter(kw, "shards", "gpu_fraction", "block_i", "block_j",
+                          "ring_impl", "kernel"),
             )
 
         return factory

@@ -97,7 +97,7 @@ class ShardedEngine(SimulationEngine):
                  mode: str = "ring", shards: int = 0,
                  gpu_fraction: float | None = None, min_n: int | None = None,
                  kernel: str = "auto", block_i: int = 0, block_j: int = 0,
-                 **kw):
+                 ring_impl: str = "auto", **kw):
         import os
 
         kwargs = {}
@@ -153,6 +153,14 @@ class ShardedEngine(SimulationEngine):
         self.kernel_name = _default_kernel() if kernel == "auto" else kernel
         self.block_i = block_i
         self.block_j = block_j
+        if ring_impl == "auto":
+            # The fused RDMA ring is the TPU path; elsewhere it would run
+            # through the (slow, testing-only) TPU interpreter.
+            ring_impl = ("pipelined" if jax.default_backend() == "tpu"
+                         else "ppermute")
+        if ring_impl not in ("pipelined", "ppermute"):
+            raise ValueError(f"unknown ring_impl {ring_impl!r}")
+        self.ring_impl = ring_impl
 
         # Every shard must hold a lane-aligned block: pad to 256 * shards.
         bodies = bodies.repad(256 * self.n_shards)
@@ -169,6 +177,8 @@ class ShardedEngine(SimulationEngine):
         if self.mode == "allgather":
             return self._allgather_local_step()
         if self.mode == "ring":
+            if self.ring_impl == "pipelined":
+                return self._ring_pipelined_local_step()
             return self._ring_local_step()
         if self.mode == "uneven":
             return self._uneven_local_step()
@@ -228,6 +238,35 @@ class ShardedEngine(SimulationEngine):
             init = (state.qx, state.qy, state.qz, gm_l, zeros, zeros, zeros)
             *_, ax, ay, az = jax.lax.fori_loop(0, d, body, init)
             acc = Accel(ax, ay, az)
+            return euler_update(state, acc, dt), acc
+
+        return step
+
+    def _ring_pipelined_local_step(self):
+        """Fused RDMA ring (ops/ring_pallas.py): one Pallas call per step,
+        j-block transfer overlapping the tile sweep.  Off-TPU it runs in
+        Pallas TPU interpret mode (simulated DMAs/semaphores) -- correct but
+        slow, for tests only."""
+        from murb_tpu.ops.ring_pallas import acc_ring_pipelined
+
+        dt = self._dt
+        soft = self.soft
+        d = self.n_shards
+        bi, bj = self.block_i, self.block_j
+        if jax.default_backend() == "tpu":
+            interp = False
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            interp = pltpu.InterpretParams()
+
+        def step(state: BodyState):
+            gm_l = jnp.asarray(G, state.dtype) * state.m
+            acc = acc_ring_pipelined(
+                state.qx, state.qy, state.qz, gm_l, soft,
+                axis_name=SHARD_AXIS, n_devices=d,
+                block_i=bi, block_j=bj, interpret=interp,
+            )
             return euler_update(state, acc, dt), acc
 
         return step
