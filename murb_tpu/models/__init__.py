@@ -72,13 +72,15 @@ def _build_registry():
     )
     register(
         "tpu+tile",
-        lambda b, **kw: E.PallasTileEngine(b, **_filter(kw, "block_i", "block_j")),
+        lambda b, **kw: E.PallasTileEngine(
+            b, **_filter(kw, "block_i", "block_j", "autotune")
+        ),
         aliases=("gpu+tile",),
     )
     register(
         "tpu+hybrid",
         lambda b, **kw: E.HybridEngine(
-            b, **_filter(kw, "block_i", "block_j", "passes")
+            b, **_filter(kw, "block_i", "block_j", "passes", "autotune")
         ),
         aliases=("gpu+tile+full", "gpu+tile+full200k",
                  "tpu+tile+full", "tpu+tile+full200k"),
@@ -94,13 +96,13 @@ def _build_registry():
     register(
         "tpu+hybrid+fast",
         lambda b, **kw: E.HybridEngine(
-            b, passes=1, **_filter(kw, "block_i", "block_j")
+            b, passes=1, **_filter(kw, "block_i", "block_j", "autotune")
         ),
     )
     register(
         "tpu+mxu",
         lambda b, **kw: E.MXUEngine(
-            b, **_filter(kw, "block_i", "block_j", "precision")
+            b, **_filter(kw, "block_i", "block_j", "precision", "autotune")
         ),
     )
     register(

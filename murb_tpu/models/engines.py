@@ -81,12 +81,19 @@ class ChunkedEngine(EulerAccelEngine):
 class PallasTileEngine(EulerAccelEngine):
     """Pallas VMEM tile kernel engine -- the analogue of gpu+tile /
     gpu+tile+full (state is always device-resident here, so the "+full"
-    distinction of the reference collapses)."""
+    distinction of the reference collapses).
+
+    Block geometry: explicit ``block_i``/``block_j`` win; otherwise a
+    persisted autotune result for this (kernel, npad, backend) is used when
+    one exists, and ``autotune=True`` (or MURB_AUTOTUNE=1) runs the
+    first-use sweep (utils/autotune.py) -- the measured replacement for the
+    reference's hand-derived thread-count dispatch
+    (ref: SimulationNBodyCUDATile.cu:40-52)."""
 
     tag = "tpu+tile"
 
     def __init__(self, bodies, soft=None, dt=None, *, block_i: int = 0,
-                 block_j: int = 0, **kw):
+                 block_j: int = 0, autotune: bool | None = None, **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -95,12 +102,54 @@ class PallasTileEngine(EulerAccelEngine):
         super().__init__(bodies, **kwargs, **kw)
         self.block_i = block_i
         self.block_j = block_j
+        if not (block_i or block_j):
+            self._resolve_blocks(autotune)
 
-    def _acc_fn(self, qx, qy, qz, gm):
+    @property
+    def _tune_tag(self) -> str:
+        return self.tag
+
+    def _resolve_blocks(self, autotune: bool | None) -> None:
+        from murb_tpu.utils import autotune as at
+
+        if autotune is None:
+            autotune = at.enabled()
+        tuned = at.lookup(self._tune_tag, self._state.npad)
+        if tuned is None and autotune:
+            tuned = self._run_autotune()
+        if tuned:
+            self.block_i = int(tuned.get("block_i", 0))
+            self.block_j = int(tuned.get("block_j", 0))
+
+    def _run_autotune(self) -> dict:
+        from murb_tpu.utils import autotune as at
+
+        dt = self._dt
+
+        def make_run(params):
+            bi, bj = params["block_i"], params["block_j"]
+
+            def step1(_, st):
+                acc = self._acc_blocks(st.qx, st.qy, st.qz, self._gm(st),
+                                        bi, bj)
+                return euler_update(st, acc, dt)
+
+            @partial(jax.jit, donate_argnums=0)
+            def run(st, n):
+                return jax.lax.fori_loop(0, n, step1, st)
+
+            return run
+
+        state0 = jax.tree.map(lambda a: jnp.array(a, copy=True), self._state)
+        return at.tune(self._tune_tag, self._state.npad, make_run, state0)
+
+    def _acc_blocks(self, qx, qy, qz, gm, bi, bj):
         from murb_tpu.ops.tile_pallas import acc_tile
 
-        return acc_tile(qx, qy, qz, gm, self.soft,
-                        block_i=self.block_i, block_j=self.block_j)
+        return acc_tile(qx, qy, qz, gm, self.soft, block_i=bi, block_j=bj)
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        return self._acc_blocks(qx, qy, qz, gm, self.block_i, self.block_j)
 
 
 class HybridEngine(PallasTileEngine):
@@ -114,15 +163,18 @@ class HybridEngine(PallasTileEngine):
         # Wide blocks want divisor-rich padding; ghosts are inert.
         if bodies.npad >= 8192:
             bodies = bodies.repad(2048)
+        self.passes = passes  # _resolve_blocks may time the kernel
         super().__init__(bodies, soft, dt, **kw)
-        self.passes = passes
 
-    def _acc_fn(self, qx, qy, qz, gm):
+    @property
+    def _tune_tag(self) -> str:
+        return f"{self.tag}/p{self.passes}"  # 1- and 2-pass tune separately
+
+    def _acc_blocks(self, qx, qy, qz, gm, bi, bj):
         from murb_tpu.ops.hybrid import acc_hybrid
 
         return acc_hybrid(qx, qy, qz, gm, self.soft,
-                          block_i=self.block_i, block_j=self.block_j,
-                          passes=self.passes)
+                          block_i=bi, block_j=bj, passes=self.passes)
 
 
 class MXUEngine(PallasTileEngine):
@@ -133,15 +185,14 @@ class MXUEngine(PallasTileEngine):
 
     def __init__(self, bodies, soft=None, dt=None, *, precision: str = "high",
                  **kw):
+        self.precision = precision  # _resolve_blocks may time the kernel
         super().__init__(bodies, soft, dt, **kw)
-        self.precision = precision
 
-    def _acc_fn(self, qx, qy, qz, gm):
+    def _acc_blocks(self, qx, qy, qz, gm, bi, bj):
         from murb_tpu.ops.mxu import acc_mxu
 
         return acc_mxu(qx, qy, qz, gm, self.soft,
-                       block_i=self.block_i, block_j=self.block_j,
-                       precision=self.precision)
+                       block_i=bi, block_j=bj, precision=self.precision)
 
 
 class ProxyEngine(EulerAccelEngine):

@@ -390,9 +390,23 @@ def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
         qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
+    from murb_tpu.ops.fmm_pallas import fmm_fused_block
+
+    block = fmm_fused_block(n, m, C)
+    if block:
+        # fused extended-basis anterpolation: one streaming pass, bases and
+        # one-hot masks rebuilt in VMEM (ops/fmm_pallas.py)
+        from murb_tpu.ops.fmm_pallas import l2p_grid_fused, p2m_grid_fused
+
+        w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
+    else:
+        w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
     fx, fy, fz = fmm_field_grid(w, h, soft, m=m, levels=levels)
-    ax, ay, az = l2p_grid(qx, qy, qz, c, h, (fx, fy, fz), m=m, C=C)
+    if block:
+        ax, ay, az = l2p_grid_fused(qx, qy, qz, c, h, (fx, fy, fz),
+                                    m=m, C=C, block=block)
+    else:
+        ax, ay, az = l2p_grid(qx, qy, qz, c, h, (fx, fy, fz), m=m, C=C)
     acc = jnp.stack([ax, ay, az], axis=1)
 
     acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)

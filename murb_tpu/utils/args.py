@@ -56,6 +56,7 @@ class MurbConfig:
     dt_explicit: bool = False
     soft_explicit: bool = False
     adapt_every: int = 0                     # proxy-order re-check period
+    autotune: bool = False                   # first-use block-size sweep
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -148,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="acceleration kernel for tracking/leapfrog/kdk "
                           "engines: auto|naive|chunked|tile|hybrid|mxu|"
                           "proxy|fmm.")
+    ext.add_argument("--autotune", action="store_true", default=False,
+                     help="sweep Pallas block sizes on first use of this "
+                          "(kernel, N) and persist the winner beside the "
+                          "compile cache (also via MURB_AUTOTUNE=1).")
     ext.add_argument("--adapt-every", dest="adapt_every", type=int, default=0,
                      help="re-derive the proxy/fmm order from the current "
                           "box every K iterations and rebuild the step if "

@@ -148,6 +148,43 @@ def test_level_consistency():
     assert rel.max() < 1e-4
 
 
+def test_fused_grid_anterpolation_matches_jnp():
+    """Pallas extended-basis P2M/L2P (ops/fmm_pallas.py, interpret mode)
+    reproduce the jnp segment-sum / gather formulation."""
+    from murb_tpu.ops import fmm_pallas as fp
+    from murb_tpu.ops.proxy import bounding_box
+
+    m, C = 8, 4
+    s = SCHEMES["random"](512, 3)
+    gm = jnp.asarray(G, s.qx.dtype) * s.m
+    c, h = bounding_box(s.qx, s.qy, s.qz, gm > 0)
+
+    w1 = fmm.p2m_grid(s.qx, s.qy, s.qz, gm, c, h, m=m, C=C)
+    w2 = fp.p2m_grid_fused(s.qx, s.qy, s.qz, gm, c, h, m=m, C=C,
+                           block=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(w2), np.asarray(w1),
+        atol=float(jnp.max(jnp.abs(w1))) * 1e-6)
+
+    rng = np.random.default_rng(0)
+    fields = tuple(jnp.asarray(rng.normal(size=(C ** 3, m ** 3)),
+                               jnp.float32) for _ in range(3))
+    a1 = fmm.l2p_grid(s.qx, s.qy, s.qz, c, h, fields, m=m, C=C)
+    a2 = fp.l2p_grid_fused(s.qx, s.qy, s.qz, c, h, fields, m=m, C=C,
+                           block=256, interpret=True)
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(a2[k]), np.asarray(a1[k]),
+            atol=float(jnp.max(jnp.abs(a1[k]))) * 1e-5)
+
+
+def test_fmm_fused_block_eligibility():
+    from murb_tpu.ops.fmm_pallas import fmm_fused_block
+
+    # CPU backend -> never fused (conftest forces cpu)
+    assert fmm_fused_block(2048, 10, 4) is None
+
+
 # ------------------------------------------------------------------ engine
 def test_proxy_engine_auto_selects_fmm_for_random_at_scale():
     """VERDICT round-1 'done' criterion: the random scheme at production N
