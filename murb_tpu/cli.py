@@ -244,7 +244,26 @@ def main(argv=None) -> int:
         while i_ite < cfg.n_iterations:
             if visu.window_should_close():
                 break
+            visu.dt = engine.dt
             visu.refresh_display(engine.bodies, time_s=physic_time)
+
+            # Viewer key events -- the interface the reference declares but
+            # never polls (ref: src/common/ogl/SpheresVisu.hpp:4-15): space
+            # pauses the loop, PgUp/PgDn double/halve dt.
+            if visu.pressed_space_bar():
+                import time as _time
+
+                visu.paused = True
+                visu.refresh_display(engine.bodies, time_s=physic_time)
+                while not (visu.pressed_space_bar()
+                           or visu.window_should_close()):
+                    _time.sleep(0.05)
+                visu.paused = False
+                visu.refresh_display(engine.bodies, time_s=physic_time)
+            if visu.pressed_page_up():
+                engine.set_dt(engine.dt * 2.0)
+            if visu.pressed_page_down():
+                engine.set_dt(engine.dt / 2.0)
 
             k = min(chunk, cfg.n_iterations - i_ite)
             if traj is not None:

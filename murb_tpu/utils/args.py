@@ -35,6 +35,7 @@ class MurbConfig:
     scan: bool = False                       # run whole simulation as one lax.scan
     csv: str | None = None                   # metrics CSV path (tracking engines)
     visu_out: str | None = None              # offline frame render directory
+    visu_live: int | None = None             # live browser viewer port
     chunk: int = 1024
     block_i: int = 0                         # 0 = kernel picks
     block_j: int = 0
@@ -113,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="write tracked metrics to this CSV (tracking engines).")
     ext.add_argument("--visu-out", dest="visu_out", type=str, default=None,
                      help="render offline frames (PNG) into this directory.")
+    ext.add_argument("--visu-live", dest="visu_live", type=int, default=None,
+                     nargs="?", const=8797, metavar="PORT",
+                     help="serve a live WebGL viewer on this port (default "
+                          "8797; 0 = ephemeral). Reach it via ssh -L. "
+                          "Space pauses, PgUp/PgDn scale dt.")
     ext.add_argument("--chunk", type=int, default=1024,
                      help="i-chunk size for chunked XLA engines.")
     ext.add_argument("--block-i", dest="block_i", type=int, default=0,

@@ -146,6 +146,11 @@ class OfflineSpheresVisu(SpheresVisu):
 
 def create_visu(cfg, for_state=None) -> SpheresVisu:
     """Visu factory (ref: createVisu<T>, src/murb/main.cpp:272-307)."""
+    if getattr(cfg, "visu_live", None) is not None and cfg.visu_enable:
+        from murb_tpu.visu.live import LiveSpheresVisu
+
+        max_pts = int(os.environ.get("MURB_VISU_MAX_POINTS", "150000"))
+        return LiveSpheresVisu(port=cfg.visu_live, max_points=max_pts)
     if cfg.visu_out and cfg.visu_enable:
         try:
             return OfflineSpheresVisu(
