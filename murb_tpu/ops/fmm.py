@@ -185,6 +185,50 @@ def l2l(f, *, m: int, C: int):
 
 
 # ------------------------------------------------------------------- M2L
+def _parity_mask(o, even, C: int):
+    """Target-parity validity of offset o (|o_d| = 3 needs near parents:
+    +3 iff the target index is even, -3 iff odd)."""
+    mk = lambda od: jnp.where(od == 3, even, jnp.where(od == -3, ~even, True))
+    return (mk(o[0])[:, None, None]
+            & mk(o[1])[None, :, None]
+            & mk(o[2])[None, None, :]).reshape(C ** 3, 1)
+
+
+def m2l_gather(w, *, m: int, C: int, near_only: bool = False):
+    """Stacked shifted (and parity-masked) expansions for every canonical
+    offset pair: (wp (K, C^3, m^3), wn (K, C^3, m^3), offsets, neg_valid).
+
+    The dense-form operands of the level sweep, shared by the jnp and the
+    Pallas-fused M2L: wp[k] is the +o_k-shifted weight grid, wn[k] the
+    -o_k-shifted grid pre-scaled by the mirror validity."""
+    dtype = w.dtype
+    m3 = m ** 3
+    wg = w.reshape(C, C, C, m3)
+    wpad = jnp.pad(wg, ((3, 3), (3, 3), (3, 3), (0, 0)))
+    idx = jnp.arange(C)
+    even = (idx % 2) == 0
+    offsets, neg_valid = _offsets_paired(1 if near_only else 3)
+
+    def shifted(o):
+        ws = jax.lax.dynamic_slice(
+            wpad, (3 + o[0], 3 + o[1], 3 + o[2], jnp.int32(0)),
+            (C, C, C, m3)
+        ).reshape(C ** 3, m3)
+        if not near_only:
+            ws = jnp.where(_parity_mask(o, even, C), ws,
+                           jnp.asarray(0.0, dtype))
+        return ws
+
+    def body(_, op):
+        o, nv = op
+        return None, (shifted(o), shifted(-o) * nv)
+
+    _, (wp, wn) = jax.lax.scan(
+        body, None, (jnp.asarray(offsets), jnp.asarray(neg_valid))
+    )
+    return wp, wn, offsets, neg_valid
+
+
 def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
               with_phi: bool = False):
     """Node force fields (fx, fy, fz[, phi]), each (C^3, m^3), from the
@@ -219,23 +263,14 @@ def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
     pyv = hl[1] * jnp.tile(jnp.repeat(t, m), m)
     pzv = hl[2] * jnp.tile(t, m2)
 
-    def mask_for(o):
-        """Target-parity validity of offset o (|o_d| = 3 needs near
-        parents: +3 iff the target index is even, -3 iff odd)."""
-        mk = lambda od: jnp.where(
-            od == 3, even, jnp.where(od == -3, ~even, True)
-        )
-        return (mk(o[0])[:, None, None]
-                & mk(o[1])[None, :, None]
-                & mk(o[2])[None, None, :]).reshape(C ** 3, 1)
-
     def shifted(o):
         ws = jax.lax.dynamic_slice(
             wpad, (3 + o[0], 3 + o[1], 3 + o[2], jnp.int32(0)),
             (C, C, C, m3)
         ).reshape(C ** 3, m3)
         if not near_only:
-            ws = jnp.where(mask_for(o), ws, jnp.asarray(0.0, dtype))
+            ws = jnp.where(_parity_mask(o, even, C), ws,
+                           jnp.asarray(0.0, dtype))
         return ws
 
     def body(acc, op):
@@ -276,13 +311,27 @@ def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
 
 # --------------------------------------------------------- downward pass
 def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
-                   with_phi: bool = False):
+                   with_phi: bool = False, fused: bool = False):
     """Finest-level node force fields (fx, fy, fz[, phi]) via the full
     hierarchy: coarser expansions by M2M, per-level expand-minus-near M2L,
-    fields interpolated down with L2L."""
+    fields interpolated down with L2L.  ``fused`` routes eligible level
+    sweeps through the Pallas kernel (ops/fmm_pallas.m2l_level_fused)."""
     ws = {levels: w_finest}
     for l in range(levels - 1, 0, -1):
         ws[l] = m2m(ws[l + 1], m=m, C=2 ** (l + 1))
+
+    def level_sweep(w, hl, C, near_only):
+        if fused:
+            from murb_tpu.ops.fmm_pallas import (m2l_fused_tile,
+                                                 m2l_level_fused)
+
+            tile = m2l_fused_tile(m, C, 4 if with_phi else 3)
+            if tile:
+                return m2l_level_fused(w, hl, soft, m=m, C=C,
+                                       near_only=near_only,
+                                       with_phi=with_phi, tile=tile)
+        return m2l_level(w, hl, soft, m=m, C=C, near_only=near_only,
+                         with_phi=with_phi)
 
     l0 = min(2, levels)  # level 1's expand and near lists coincide (C=2)
     f = None
@@ -291,13 +340,12 @@ def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
         hl = h / C
         if f is not None:
             f = tuple(l2l(fd, m=m, C=C // 2) for fd in f)
-        contrib = m2l_level(ws[l], hl, soft, m=m, C=C, with_phi=with_phi)
+        contrib = level_sweep(ws[l], hl, C, near_only=False)
         f = contrib if f is None else tuple(
             a + b for a, b in zip(f, contrib)
         )
         if l < levels:
-            near = m2l_level(ws[l], hl, soft, m=m, C=C, near_only=True,
-                             with_phi=with_phi)
+            near = level_sweep(ws[l], hl, C, near_only=True)
             f = tuple(a - b for a, b in zip(f, near))
     return f
 
@@ -401,7 +449,7 @@ def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
         w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
     else:
         w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
-    fx, fy, fz = fmm_field_grid(w, h, soft, m=m, levels=levels)
+    fx, fy, fz = fmm_field_grid(w, h, soft, m=m, levels=levels, fused=True)
     if block:
         ax, ay, az = l2p_grid_fused(qx, qy, qz, c, h, (fx, fy, fz),
                                     m=m, C=C, block=block)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from murb_tpu.ops.proxy import _cheb_nodes
 from murb_tpu.ops.proxy_pallas import _basis_rows, _tj_nodes
 
 
@@ -46,6 +47,189 @@ def fmm_fused_block(n: int, m: int, C: int) -> int | None:
     from murb_tpu.ops.common import pick_block
 
     return pick_block(n, 512 if cm > 32 else 1024)
+
+
+# ------------------------------------------------------------- fused M2L
+def m2l_fused_tile(m: int, C: int, nf: int) -> int | None:
+    """Row-tile size for the fused M2L kernel, or None when the resident
+    VMEM estimate (output accumulators + double-buffered operands + the
+    in-flight T tiles and their build temporaries) busts the budget."""
+    if jax.default_backend() != "tpu":
+        return None
+    m3 = m ** 3
+    c3 = C ** 3
+    for tile in (256, 128):
+        m3p = -(-m3 // tile) * tile
+        est = 4 * (nf * c3 * m3p            # resident output accumulators
+                   + 2 * c3 * (m3p + tile)  # double-buffered wp / wn blocks
+                   + (nf + 3) * tile * m3p)  # T tiles + build temporaries
+        if est <= 10 * 2 ** 20:
+            return tile
+    return None
+
+
+def _m2l_kernel(wp_hi_ref, wp_lo_ref, wn_hi_ref, wn_lo_ref, off_ref,
+                pvc_ref, pxr_ref, pyr_ref, pzr_ref, *outs,
+                tile: int, nf: int, with_phi: bool):
+    """One (offset k, row-tile u) step: build the T tile in VMEM, apply it
+    to both shift directions, accumulate into the resident node fields.
+
+    T_d[u, v] = D_d * (D.D + eps^2)^-3/2 with D = 2 h_l o + p_v - p_u; the
+    mirror identity T_d(-o) = -T_d(o)^T (phi: +T^T) turns the -o side into
+    the transposed matmul of the same tile (ref convention as the jnp
+    m2l_level, ops/fmm.py)."""
+    k = pl.program_id(0)
+    u = pl.program_id(1)
+    off = off_ref[0]                                      # (1, 8)
+
+    # D components for this row tile: (tile, m3p) rank-2 broadcasts
+    dx = off[0, 0] + pvc_ref[0:1, :] - pxr_ref[...]
+    dy = off[0, 1] + pvc_ref[1:2, :] - pyr_ref[...]
+    dz = off[0, 2] + pvc_ref[2:3, :] - pzr_ref[...]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + off[0, 3])
+    inv3 = inv * inv * inv
+
+    @pl.when(jnp.logical_and(k == 0, u == 0))
+    def _():
+        for o in outs:
+            o[...] = jnp.zeros_like(o[...])
+
+    # bf16x3 dots: hi*hi + hi*lo + lo*hi runs 3 full-rate MXU passes vs
+    # HIGHEST's 6 (measured field error ~3e-5 of max, under the solver
+    # tolerance; the w side arrives pre-split).
+    split = _bsplit
+    dot1 = lambda a, b, tr: jax.lax.dot_general(
+        a, b, (((1,), (1 if tr else 0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dot3 = lambda ah, al, bh, bl, tr: (
+        dot1(ah, bh, tr) + dot1(ah, bl, tr) + dot1(al, bh, tr))
+
+    wph, wpl = wp_hi_ref[0], wp_lo_ref[0]                 # (c3, m3p) bf16
+    wnh, wnl = wn_hi_ref[0], wn_lo_ref[0]                 # (c3, tile) bf16
+    splits = []
+    for i in range(nf):
+        phi = with_phi and i == nf - 1
+        splits.append(split(inv if phi else (dx, dy, dz)[i] * inv3))
+    # Stack the per-field T tiles so each shift direction is ONE wide
+    # matmul per bf16 pass instead of nf narrow ones (grid-step count times
+    # dot-invocation overhead is a first-order cost at c3 = 64 rows):
+    # +o contracts over v -> row-stack; -o contracts over u -> column-stack.
+    th_r = jnp.concatenate([s[0] for s in splits], axis=0)  # (nf*tile, m3p)
+    tl_r = jnp.concatenate([s[1] for s in splits], axis=0)
+    th_c = jnp.concatenate([s[0] for s in splits], axis=1)  # (tile, nf*m3p)
+    tl_c = jnp.concatenate([s[1] for s in splits], axis=1)
+    pp = dot3(wph, wpl, th_r, tl_r, True)                 # (c3, nf*tile)
+    pn = dot3(wnh, wnl, th_c, tl_c, False)                # (c3, nf*m3p)
+    m3p = pn.shape[1] // nf
+    for i in range(nf):
+        phi = with_phi and i == nf - 1
+        sign = 1.0 if phi else -1.0
+        # +o: f[c, u_tile] += sum_v wp[c, v] T[u, v]
+        outs[i][:, pl.ds(u * tile, tile)] += pp[:, i * tile:(i + 1) * tile]
+        # -o: f[c, :] -+= sum_u wn[c, u] T[u, v]
+        outs[i][...] += sign * pn[:, i * m3p:(i + 1) * m3p]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "C", "near_only", "with_phi", "tile", "interpret"),
+)
+def m2l_level_fused(w, hl, soft, *, m: int, C: int, near_only: bool = False,
+                    with_phi: bool = False, tile: int = 256,
+                    interpret: bool = False):
+    """Node force fields (fx, fy, fz[, phi]), each (C^3, m^3) -- the fused
+    counterpart of ops/fmm.m2l_level.
+
+    The jnp sweep materializes three (m^3, m^3) transfer matrices per offset
+    in HBM (~24 MB/offset round-tripped at m=10); here each T row tile lives
+    only in VMEM between its build and its two matmuls, and the node fields
+    stay VMEM-resident across the whole (offset, tile) grid.  Measured
+    probe: the level sweep is build-bound, not matmul-bound (HIGH vs
+    HIGHEST precision moves it 14.2 -> 11.4 ms), so removing the HBM
+    round-trip is the win."""
+    from murb_tpu.ops.fmm import m2l_gather
+
+    f32 = jnp.float32
+    m3 = m ** 3
+    c3 = C ** 3
+    nf = 4 if with_phi else 3
+    m3p = -(-m3 // tile) * tile
+    nu = m3p // tile
+
+    wp, wn, offsets, _ = m2l_gather(w.astype(f32), m=m, C=C,
+                                    near_only=near_only)
+    K = wp.shape[0]
+    pad = ((0, 0), (0, 0), (0, m3p - m3))
+    wp = jnp.pad(wp, pad)
+    wn = jnp.pad(wn, pad)
+
+    def bsplit(x):
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(f32)).astype(jnp.bfloat16)
+
+    wp_hi, wp_lo = bsplit(wp)
+    wn_hi, wn_lo = bsplit(wn)
+
+    # flat per-node coordinate vectors, padded with a finite sentinel: the
+    # pad slots of wp/wn are zero, the sentinel only keeps r2 finite
+    t = jnp.asarray(_cheb_nodes(m), f32)
+    m2 = m * m
+    pxv = hl[0].astype(f32) * jnp.repeat(t, m2)
+    pyv = hl[1].astype(f32) * jnp.tile(jnp.repeat(t, m), m)
+    pzv = hl[2].astype(f32) * jnp.tile(t, m2)
+    sent = jnp.full((m3p - m3,), 1e18, f32)
+    pxv, pyv, pzv = (jnp.concatenate([v, sent]) for v in (pxv, pyv, pzv))
+    pvc = jnp.stack([pxv, pyv, pzv])                      # (3, m3p)
+
+    off_params = jnp.zeros((K, 8), f32)
+    off_params = off_params.at[:, :3].set(
+        2.0 * hl.astype(f32)[None, :] * jnp.asarray(offsets, f32))
+    off_params = off_params.at[:, 3].set(jnp.asarray(soft, f32) ** 2)
+    off_params = off_params.reshape(K, 1, 8)
+
+    col = lambda v: v.reshape(m3p, 1)
+    fields = pl.pallas_call(
+        functools.partial(_m2l_kernel, tile=tile, nf=nf, with_phi=with_phi),
+        grid=(K, nu),
+        in_specs=[
+            pl.BlockSpec((1, c3, m3p), lambda k, u: (k, 0, 0)),   # wp hi
+            pl.BlockSpec((1, c3, m3p), lambda k, u: (k, 0, 0)),   # wp lo
+            pl.BlockSpec((1, c3, tile), lambda k, u: (k, 0, u)),  # wn hi
+            pl.BlockSpec((1, c3, tile), lambda k, u: (k, 0, u)),  # wn lo
+            pl.BlockSpec((1, 1, 8), lambda k, u: (k, 0, 0)),      # offset row
+            pl.BlockSpec((3, m3p), lambda k, u: (0, 0)),          # col coords
+            pl.BlockSpec((tile, 1), lambda k, u: (u, 0)),         # row coords
+            pl.BlockSpec((tile, 1), lambda k, u: (u, 0)),
+            pl.BlockSpec((tile, 1), lambda k, u: (u, 0)),
+        ],
+        out_specs=[pl.BlockSpec((c3, m3p), lambda k, u: (0, 0))] * nf,
+        out_shape=[jax.ShapeDtypeStruct((c3, m3p), f32)] * nf,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(wp_hi, wp_lo, wn_hi, wn_lo, off_params, pvc,
+      col(pxv), col(pyv), col(pzv))
+    return tuple(f[:, :m3].astype(w.dtype) for f in fields)
+
+
+def _bsplit(x):
+    """bf16 hi/lo split: x == hi + lo to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _dot3_contract1(a, b):
+    """sum_k a[i, k] b[j, k] in bf16x3 (3 full-rate MXU passes; ~1e-5
+    relative, an order below the solver tolerance -- vs HIGHEST's 6-pass
+    fp32 emulation)."""
+    ah, al = _bsplit(a)
+    bh, bl = _bsplit(b)
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 def _cell_rows(q_row, lo, cs, C: int):
@@ -109,11 +293,7 @@ def _p2m_grid_kernel(qx, qy, qz, gm, box, nodes, w_out, w_acc, *, m, C):
     ex, ey, ez = _ext_coords(qx, qy, qz, box, nodes, m, C)
     eyz = _eyz_rows(ey, ez, cm)                           # (cm^2, B)
     gex = ex * gm[...].astype(jnp.float32)                # (cm, B)
-    part = jax.lax.dot_general(
-        gex, eyz, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (cm, cm^2)
+    part = _dot3_contract1(gex, eyz)                      # (cm, cm^2)
 
     @pl.when(i == 0)
     def _():
@@ -163,11 +343,12 @@ def _l2p_grid_kernel(qx, qy, qz, box, nodes, fmat, *outs, m, C):
     cm = C * m
     ex, ey, ez = _ext_coords(qx, qy, qz, box, nodes, m, C)
     eyz = _eyz_rows(ey, ez, cm)                           # (cm^2, B)
-    b = jax.lax.dot_general(
-        fmat[...], eyz, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (len(outs)*cm, B)
+    fh, fl = _bsplit(fmat[...])
+    eh, el = _bsplit(eyz)
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    b = d(fh, eh) + d(fh, el) + d(fl, eh)                 # (len(outs)*cm, B)
     for f, out in enumerate(outs):
         out[...] = jnp.sum(ex * b[f * cm:(f + 1) * cm, :], axis=0,
                            keepdims=True)

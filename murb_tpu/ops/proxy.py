@@ -497,6 +497,32 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
         return (mx & my & mz).astype(dtype)
 
     n = qx.shape[0]
+    p = m * m * m
+
+    # Extended-basis grid anterpolation (ops/fmm_pallas.py): the octant
+    # decomposition IS the C=2 cell grid, so one streaming pass builds all
+    # eight per-octant expansions with each body contributing only to its
+    # own octant -- replacing the 8x-redundant per-octant P2M/L2P loops
+    # (round-1 VERDICT "What's missing" item 4).  Octant list order
+    # (x-major low-to-high) matches the grid cell id (cx*2+cy)*2+cz.
+    from murb_tpu.ops.fmm_pallas import fmm_fused_block
+
+    gblock = fmm_fused_block(n, m, 2)
+    if gblock:
+        from murb_tpu.ops.fmm_pallas import l2p_grid_fused, p2m_grid_fused
+
+        w_grid = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=2,
+                                block=gblock)              # (8, m^3)
+        pxs, pys, pzs = zip(*(proxy_nodes(co, half, m, dtype)
+                              for co in octants))
+        f = node_sweep(jnp.concatenate(pxs), jnp.concatenate(pys),
+                       jnp.concatenate(pzs), w_grid.reshape(8 * p), soft)
+        ax, ay, az = l2p_grid_fused(
+            qx, qy, qz, c, h,
+            (f.ax.reshape(8, p), f.ay.reshape(8, p), f.az.reshape(8, p)),
+            m=m, C=2, block=gblock)
+        return jnp.stack([ax, ay, az], axis=1).astype(dtype)
+
     from murb_tpu.ops.proxy_pallas import fused_block
 
     block = fused_block(n)
@@ -523,7 +549,6 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
 
     # L2P: each body reads its own octant's field (bases reused from P2M)
     acc = jnp.zeros((n, 3), dtype)
-    p = m * m * m
     for o, co in enumerate(octants):
         fo = Accel(f.ax[o * p:(o + 1) * p], f.ay[o * p:(o + 1) * p],
                    f.az[o * p:(o + 1) * p])

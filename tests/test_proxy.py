@@ -112,6 +112,44 @@ def test_proxy_two_level_force_accuracy():
                       "two-level ax", rms_floor=5e-4)
 
 
+def test_octant_grid_anterpolation_correspondence():
+    """The C=2 extended-basis grid P2M (ops/fmm_pallas.py, the TPU fast
+    path inside _two_level) is the per-octant masked P2M: cell id
+    (cx*2+cy)*2+cz must line up with the octants list order (x-major,
+    low-to-high), with identical in-octant Chebyshev coordinates."""
+    import jax.numpy as jnp
+
+    from murb_tpu.ops import fmm
+    from murb_tpu.ops.proxy import bases, bounding_box, p2m
+
+    m = 6
+    s = SCHEMES["random"](512, 9)
+    gm = jnp.asarray(np.float32(G) * s.m)
+    c, h = bounding_box(s.qx, s.qy, s.qz, gm > 0)
+    half = 0.5 * h
+
+    w_grid = fmm.p2m_grid(s.qx, s.qy, s.qz, gm, c, h, m=m, C=2)  # (8, m^3)
+
+    o = 0
+    for ox in (-1, 1):
+        for oy in (-1, 1):
+            for oz in (-1, 1):
+                co = jnp.stack([c[0] + ox * half[0], c[1] + oy * half[1],
+                                c[2] + oz * half[2]])
+                mx = (s.qx > c[0]) if ox > 0 else (s.qx <= c[0])
+                my = (s.qy > c[1]) if oy > 0 else (s.qy <= c[1])
+                mz = (s.qz > c[2]) if oz > 0 else (s.qz <= c[2])
+                gm_o = gm * (mx & my & mz).astype(gm.dtype)
+                sx, syz = bases(s.qx, s.qy, s.qz, co, half, m)
+                w_oct = p2m(sx, syz, gm_o, m)
+                scale = float(jnp.max(jnp.abs(w_oct))) or 1.0
+                np.testing.assert_allclose(
+                    np.asarray(w_grid[o]), np.asarray(w_oct),
+                    atol=scale * 1e-5,
+                    err_msg=f"octant {o} ({ox},{oy},{oz})")
+                o += 1
+
+
 def test_proxy_falls_back_when_capped():
     """An artificially tiny max_m forces the exact-kernel fallback."""
     bodies = SCHEMES["random"](1024, 123)

@@ -36,6 +36,32 @@ def test_energy_report(tmp_path):
     assert abs(float(cols[4]) - 5.0) < 1e-6        # J/frame
 
 
+def test_measure_energy_collection(tmp_path):
+    """The collection driver samples while the workload runs, writes the
+    CSV schema energy_report expects, and chains into the report."""
+    out = tmp_path / "power.csv"
+    env = dict(os.environ)
+    env["MURB_ENERGY_CMD"] = \
+        f'{sys.executable} -c "import time; time.sleep(1.2)"'
+    env["MURB_ENERGY_DEVICES"] = "1"   # skip jax init in the sampler
+    # the remainder args after -- are passed to the (stubbed) workload
+    r = subprocess.run(
+        [sys.executable, "scripts/measure_energy.py", "--source", "tdp",
+         "--tdp-watts", "123", "--interval", "0.2", "--out", str(out),
+         "--", "-n", "64", "-i", "10"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "power source: tdp" in r.stdout
+    assert "UPPER BOUND" in r.stdout           # the fallback is labeled
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "timestamp_s,channel,watts"
+    assert len(lines) >= 4                     # ~5 samples in 1.2 s
+    t, ch, w = lines[1].split(",")
+    assert ch.startswith("tdp_bound") and float(w) >= 123.0
+    # report table produced for the -i frame count
+    assert "J/frame" in r.stdout and "10 frames" in r.stdout
+
+
 def test_two_galaxy_generator_layout(tmp_path):
     out = tmp_path / "mw.tab"
     r = _run(["scripts/make_two_galaxy_tab.py", str(out), "--seed", "3"])
