@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from murb_tpu.ops.proxy import _cheb_nodes
-from murb_tpu.ops.proxy_pallas import _basis_rows, _tj_nodes
+from murb_tpu.ops.proxy_pallas import _basis_rows, _bsplit, _tj_nodes, dot3
 
 
 def fmm_fused_block(n: int, m: int, C: int) -> int | None:
@@ -53,33 +53,39 @@ def fmm_fused_block(n: int, m: int, C: int) -> int | None:
 def m2l_fused_tile(m: int, C: int, nf: int) -> int | None:
     """Row-tile size for the fused M2L kernel, or None when the resident
     VMEM estimate (output accumulators + double-buffered operands + the
-    in-flight T tiles and their build temporaries) busts the budget."""
+    in-flight T tiles and their build temporaries) busts the budget.
+    Cells beyond 256 rows are grid-tiled (cblk), so eligibility depends on
+    (m, nf) far more than on C."""
     if jax.default_backend() != "tpu":
         return None
     m3 = m ** 3
-    c3 = C ** 3
+    cblk = min(C ** 3, 256)
     for tile in (256, 128):
         m3p = -(-m3 // tile) * tile
-        est = 4 * (nf * c3 * m3p            # resident output accumulators
-                   + 2 * c3 * (m3p + tile)  # double-buffered wp / wn blocks
-                   + (nf + 3) * tile * m3p)  # T tiles + build temporaries
-        if est <= 10 * 2 ** 20:
+        est = (4 * nf * cblk * m3p          # resident output accumulators
+               + 8 * cblk * (m3p + tile)    # 2-buffered bf16 wp/wn hi+lo
+               + 8 * nf * tile * m3p        # row- and col-stacked T splits
+               + 20 * tile * m3p)           # f32 build temporaries
+        if est <= 12 * 2 ** 20:
             return tile
     return None
 
 
-def _m2l_kernel(wp_hi_ref, wp_lo_ref, wn_hi_ref, wn_lo_ref, off_ref,
-                pvc_ref, pxr_ref, pyr_ref, pzr_ref, *outs,
-                tile: int, nf: int, with_phi: bool):
-    """One (offset k, row-tile u) step: build the T tile in VMEM, apply it
-    to both shift directions, accumulate into the resident node fields.
+def _m2l_kernel(*refs, tile: int, nf: int, with_phi: bool,
+                exact_dots: bool):
+    """One (cell tile c, offset k, row-tile u) step: build the T tile in
+    VMEM, apply it to both shift directions, accumulate into the resident
+    node fields.
 
     T_d[u, v] = D_d * (D.D + eps^2)^-3/2 with D = 2 h_l o + p_v - p_u; the
     mirror identity T_d(-o) = -T_d(o)^T (phi: +T^T) turns the -o side into
     the transposed matmul of the same tile (ref convention as the jnp
     m2l_level, ops/fmm.py)."""
-    k = pl.program_id(0)
-    u = pl.program_id(1)
+    nw = 2 if exact_dots else 4  # fp32 (wp, wn) or bf16 (wp, wn) hi/lo
+    off_ref, pvc_ref, pxr_ref, pyr_ref, pzr_ref = refs[nw:nw + 5]
+    outs = refs[nw + 5:]
+    k = pl.program_id(1)
+    u = pl.program_id(2)
     off = off_ref[0]                                      # (1, 8)
 
     # D components for this row tile: (tile, m3p) rank-2 broadcasts
@@ -94,33 +100,46 @@ def _m2l_kernel(wp_hi_ref, wp_lo_ref, wn_hi_ref, wn_lo_ref, off_ref,
         for o in outs:
             o[...] = jnp.zeros_like(o[...])
 
-    # bf16x3 dots: hi*hi + hi*lo + lo*hi runs 3 full-rate MXU passes vs
-    # HIGHEST's 6 (measured field error ~3e-5 of max, under the solver
-    # tolerance; the w side arrives pre-split).
-    split = _bsplit
-    dot1 = lambda a, b, tr: jax.lax.dot_general(
+    # Dot policy (the level sweep accumulates contributions of oscillating
+    # sign across offsets and source cells, so split error is
+    # cancellation-amplified in the final force -- measured ~6e-4 max
+    # relative force error at m=10 with bf16x3 here vs ~1e-5 with fp32):
+    #   exact_dots: fp32 operands, HIGHEST (6-pass) -- the default;
+    #   else:       bf16 hi/lo splits, 3 full-rate passes (--fast-m2l).
+    dot1 = lambda a, b, tr, prec=None: jax.lax.dot_general(
         a, b, (((1,), (1 if tr else 0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dot3 = lambda ah, al, bh, bl, tr: (
         dot1(ah, bh, tr) + dot1(ah, bl, tr) + dot1(al, bh, tr))
 
-    wph, wpl = wp_hi_ref[0], wp_lo_ref[0]                 # (c3, m3p) bf16
-    wnh, wnl = wn_hi_ref[0], wn_lo_ref[0]                 # (c3, tile) bf16
-    splits = []
+    splits, exacts = [], []
     for i in range(nf):
         phi = with_phi and i == nf - 1
-        splits.append(split(inv if phi else (dx, dy, dz)[i] * inv3))
+        t = inv if phi else (dx, dy, dz)[i] * inv3
+        (exacts if exact_dots else splits).append(
+            (t,) if exact_dots else _bsplit(t))
     # Stack the per-field T tiles so each shift direction is ONE wide
-    # matmul per bf16 pass instead of nf narrow ones (grid-step count times
+    # matmul per pass instead of nf narrow ones (grid-step count times
     # dot-invocation overhead is a first-order cost at c3 = 64 rows):
     # +o contracts over v -> row-stack; -o contracts over u -> column-stack.
-    th_r = jnp.concatenate([s[0] for s in splits], axis=0)  # (nf*tile, m3p)
-    tl_r = jnp.concatenate([s[1] for s in splits], axis=0)
-    th_c = jnp.concatenate([s[0] for s in splits], axis=1)  # (tile, nf*m3p)
-    tl_c = jnp.concatenate([s[1] for s in splits], axis=1)
-    pp = dot3(wph, wpl, th_r, tl_r, True)                 # (c3, nf*tile)
-    pn = dot3(wnh, wnl, th_c, tl_c, False)                # (c3, nf*m3p)
+    if exact_dots:
+        wp = refs[0][0]                                   # (c3, m3p) f32
+        wn = refs[1][0]                                   # (c3, tile) f32
+        t_r = jnp.concatenate([e[0] for e in exacts], axis=0)
+        t_c = jnp.concatenate([e[0] for e in exacts], axis=1)
+        hi = jax.lax.Precision.HIGHEST
+        pp = dot1(wp, t_r, True, hi)                      # (c3, nf*tile)
+        pn = dot1(wn, t_c, False, hi)                     # (c3, nf*m3p)
+    else:
+        wph, wpl = refs[0][0], refs[1][0]                 # (c3, m3p) bf16
+        wnh, wnl = refs[2][0], refs[3][0]                 # (c3, tile) bf16
+        th_r = jnp.concatenate([s[0] for s in splits], axis=0)
+        tl_r = jnp.concatenate([s[1] for s in splits], axis=0)
+        th_c = jnp.concatenate([s[0] for s in splits], axis=1)
+        tl_c = jnp.concatenate([s[1] for s in splits], axis=1)
+        pp = dot3(wph, wpl, th_r, tl_r, True)             # (c3, nf*tile)
+        pn = dot3(wnh, wnl, th_c, tl_c, False)            # (c3, nf*m3p)
     m3p = pn.shape[1] // nf
     for i in range(nf):
         phi = with_phi and i == nf - 1
@@ -133,21 +152,23 @@ def _m2l_kernel(wp_hi_ref, wp_lo_ref, wn_hi_ref, wn_lo_ref, off_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "C", "near_only", "with_phi", "tile", "interpret"),
+    static_argnames=("m", "C", "near_only", "with_phi", "tile", "interpret",
+                     "exact_dots"),
 )
 def m2l_level_fused(w, hl, soft, *, m: int, C: int, near_only: bool = False,
                     with_phi: bool = False, tile: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False, exact_dots: bool = True):
     """Node force fields (fx, fy, fz[, phi]), each (C^3, m^3) -- the fused
     counterpart of ops/fmm.m2l_level.
 
     The jnp sweep materializes three (m^3, m^3) transfer matrices per offset
     in HBM (~24 MB/offset round-tripped at m=10); here each T row tile lives
     only in VMEM between its build and its two matmuls, and the node fields
-    stay VMEM-resident across the whole (offset, tile) grid.  Measured
-    probe: the level sweep is build-bound, not matmul-bound (HIGH vs
-    HIGHEST precision moves it 14.2 -> 11.4 ms), so removing the HBM
-    round-trip is the win."""
+    stay VMEM-resident across the whole (cell tile, offset, tile) grid.
+    Measured probe: the level sweep is build-bound, not matmul-bound, so
+    removing the HBM round-trip is the win.  ``exact_dots=False`` trades
+    the fp32 matmuls for bf16x3 splits (~1 ms at m=10, C=4) at the cost of
+    cancellation-amplified force error (measured ~6e-4 max vs ~1e-5)."""
     from murb_tpu.ops.fmm import m2l_gather
 
     f32 = jnp.float32
@@ -157,6 +178,9 @@ def m2l_level_fused(w, hl, soft, *, m: int, C: int, near_only: bool = False,
     m3p = -(-m3 // tile) * tile
     nu = m3p // tile
 
+    cblk = min(c3, 256)
+    nc = c3 // cblk
+
     wp, wn, offsets, _ = m2l_gather(w.astype(f32), m=m, C=C,
                                     near_only=near_only)
     K = wp.shape[0]
@@ -164,12 +188,22 @@ def m2l_level_fused(w, hl, soft, *, m: int, C: int, near_only: bool = False,
     wp = jnp.pad(wp, pad)
     wn = jnp.pad(wn, pad)
 
-    def bsplit(x):
-        hi = x.astype(jnp.bfloat16)
-        return hi, (x - hi.astype(f32)).astype(jnp.bfloat16)
-
-    wp_hi, wp_lo = bsplit(wp)
-    wn_hi, wn_lo = bsplit(wn)
+    if exact_dots:
+        w_ops = (wp, wn)
+        w_specs = [
+            pl.BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
+            pl.BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
+        ]
+    else:
+        wp_hi, wp_lo = _bsplit(wp)
+        wn_hi, wn_lo = _bsplit(wn)
+        w_ops = (wp_hi, wp_lo, wn_hi, wn_lo)
+        w_specs = [
+            pl.BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
+            pl.BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
+            pl.BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
+            pl.BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
+        ]
 
     # flat per-node coordinate vectors, padded with a finite sentinel: the
     # pad slots of wp/wn are zero, the sentinel only keeps r2 finite
@@ -188,48 +222,30 @@ def m2l_level_fused(w, hl, soft, *, m: int, C: int, near_only: bool = False,
     off_params = off_params.at[:, 3].set(jnp.asarray(soft, f32) ** 2)
     off_params = off_params.reshape(K, 1, 8)
 
+    # grid order (cell tile, offset, row tile): the cell tile is OUTERMOST
+    # so the output accumulators stay VMEM-resident across the whole inner
+    # (K, nu) sweep and write back only nc times; the T tiles are rebuilt
+    # per cell tile (nc <= 2 for every eligible config).
     col = lambda v: v.reshape(m3p, 1)
     fields = pl.pallas_call(
-        functools.partial(_m2l_kernel, tile=tile, nf=nf, with_phi=with_phi),
-        grid=(K, nu),
-        in_specs=[
-            pl.BlockSpec((1, c3, m3p), lambda k, u: (k, 0, 0)),   # wp hi
-            pl.BlockSpec((1, c3, m3p), lambda k, u: (k, 0, 0)),   # wp lo
-            pl.BlockSpec((1, c3, tile), lambda k, u: (k, 0, u)),  # wn hi
-            pl.BlockSpec((1, c3, tile), lambda k, u: (k, 0, u)),  # wn lo
-            pl.BlockSpec((1, 1, 8), lambda k, u: (k, 0, 0)),      # offset row
-            pl.BlockSpec((3, m3p), lambda k, u: (0, 0)),          # col coords
-            pl.BlockSpec((tile, 1), lambda k, u: (u, 0)),         # row coords
-            pl.BlockSpec((tile, 1), lambda k, u: (u, 0)),
-            pl.BlockSpec((tile, 1), lambda k, u: (u, 0)),
+        functools.partial(_m2l_kernel, tile=tile, nf=nf, with_phi=with_phi,
+                          exact_dots=exact_dots),
+        grid=(nc, K, nu),
+        in_specs=w_specs + [
+            pl.BlockSpec((1, 1, 8), lambda c, k, u: (k, 0, 0)),   # offset row
+            pl.BlockSpec((3, m3p), lambda c, k, u: (0, 0)),       # col coords
+            pl.BlockSpec((tile, 1), lambda c, k, u: (u, 0)),      # row coords
+            pl.BlockSpec((tile, 1), lambda c, k, u: (u, 0)),
+            pl.BlockSpec((tile, 1), lambda c, k, u: (u, 0)),
         ],
-        out_specs=[pl.BlockSpec((c3, m3p), lambda k, u: (0, 0))] * nf,
+        out_specs=[pl.BlockSpec((cblk, m3p), lambda c, k, u: (c, 0))] * nf,
         out_shape=[jax.ShapeDtypeStruct((c3, m3p), f32)] * nf,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(wp_hi, wp_lo, wn_hi, wn_lo, off_params, pvc,
-      col(pxv), col(pyv), col(pzv))
+    )(*w_ops, off_params, pvc, col(pxv), col(pyv), col(pzv))
     return tuple(f[:, :m3].astype(w.dtype) for f in fields)
-
-
-def _bsplit(x):
-    """bf16 hi/lo split: x == hi + lo to ~16 mantissa bits."""
-    hi = x.astype(jnp.bfloat16)
-    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-
-def _dot3_contract1(a, b):
-    """sum_k a[i, k] b[j, k] in bf16x3 (3 full-rate MXU passes; ~1e-5
-    relative, an order below the solver tolerance -- vs HIGHEST's 6-pass
-    fp32 emulation)."""
-    ah, al = _bsplit(a)
-    bh, bl = _bsplit(b)
-    d = lambda x, y: jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 def _cell_rows(q_row, lo, cs, C: int):
@@ -293,7 +309,7 @@ def _p2m_grid_kernel(qx, qy, qz, gm, box, nodes, w_out, w_acc, *, m, C):
     ex, ey, ez = _ext_coords(qx, qy, qz, box, nodes, m, C)
     eyz = _eyz_rows(ey, ez, cm)                           # (cm^2, B)
     gex = ex * gm[...].astype(jnp.float32)                # (cm, B)
-    part = _dot3_contract1(gex, eyz)                      # (cm, cm^2)
+    part = dot3(gex, eyz, tr_b=True)                      # (cm, cm^2)
 
     @pl.when(i == 0)
     def _():
@@ -343,12 +359,7 @@ def _l2p_grid_kernel(qx, qy, qz, box, nodes, fmat, *outs, m, C):
     cm = C * m
     ex, ey, ez = _ext_coords(qx, qy, qz, box, nodes, m, C)
     eyz = _eyz_rows(ey, ez, cm)                           # (cm^2, B)
-    fh, fl = _bsplit(fmat[...])
-    eh, el = _bsplit(eyz)
-    d = lambda x, y: jax.lax.dot_general(
-        x, y, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    b = d(fh, eh) + d(fh, el) + d(fl, eh)                 # (len(outs)*cm, B)
+    b = dot3(fmat[...], eyz, tr_b=False)                  # (len(outs)*cm, B)
     for f, out in enumerate(outs):
         out[...] = jnp.sum(ex * b[f * cm:(f + 1) * cm, :], axis=0,
                            keepdims=True)

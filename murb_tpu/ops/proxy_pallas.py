@@ -46,6 +46,25 @@ def _tj_nodes(m: int) -> np.ndarray:
     return np.cos(np.outer(theta, j))  # (m, m-1)
 
 
+def _bsplit(x):
+    """bf16 hi/lo split: x == hi + lo to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def dot3(a, b, *, tr_b: bool):
+    """bf16x3 contraction (a dim 1 with b dim 1 or 0): hi*hi + hi*lo +
+    lo*hi, 3 full-rate MXU passes.  Mosaic lacks Precision.HIGH, so this
+    hand-rolls the bf16_3x scheme the jnp anterpolation path already uses
+    (~2^-21 relative per product, below the interpolation error)."""
+    ah, al = _bsplit(a)
+    bh, bl = _bsplit(b)
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (1 if tr_b else 0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _basis_rows(t_row, nodes_ref, m: int):
     """S (m, B) from t (1, B) via the Chebyshev recurrence + one tiny matmul."""
     t = jnp.clip(t_row, -1.0, 1.0)
@@ -87,11 +106,7 @@ def _p2m_kernel(qx, qy, qz, gm, box, nodes, w_out, w_acc, *, m):
     sz = _basis_rows(tz, nodes, m)
     syz = _syz_rows(sy, sz, m)                           # (m^2, B)
     gsx = sx * gm[...].astype(jnp.float32)               # (m, B) * (1, B)
-    part = jax.lax.dot_general(
-        gsx, syz, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (m, m^2)
+    part = dot3(gsx, syz, tr_b=True)                     # (m, m^2)
 
     @pl.when(i == 0)
     def _():
@@ -144,11 +159,8 @@ def _l2p_kernel(qx, qy, qz, box, nodes, fmat, *outs, m):
     sy = _basis_rows(ty, nodes, m)
     sz = _basis_rows(tz, nodes, m)
     syz = _syz_rows(sy, sz, m)                           # (m^2, B)
-    b = jax.lax.dot_general(
-        fmat[...], syz, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (len(outs)*m, B): field f occupies rows [f*m, (f+1)*m)
+    # (len(outs)*m, B): field f occupies rows [f*m, (f+1)*m)
+    b = dot3(fmat[...], syz, tr_b=False)
     for f, out in enumerate(outs):
         out[...] = jnp.sum(sx * b[f * m:(f + 1) * m, :], axis=0,
                            keepdims=True)

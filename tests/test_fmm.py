@@ -187,7 +187,9 @@ def test_fused_m2l_matches_jnp():
 
     rng = np.random.default_rng(7)
     hl = jnp.asarray([1.5e9, 1.1e9, 0.9e9], jnp.float32)
-    for m, C, tile in ((4, 4, 64), (5, 4, 64)):
+    # (5,4): non-tile-divisible node count; (3,8): cell-tiled grid (nc=2)
+    for (m, C, tile), exact in (((4, 4, 64), True), ((4, 4, 64), False),
+                                ((5, 4, 64), True), ((3, 8, 16), True)):
         w = jnp.asarray(rng.normal(size=(C ** 3, m ** 3)), jnp.float32)
         for near_only in (False, True):
             for with_phi in (False, True):
@@ -196,7 +198,7 @@ def test_fused_m2l_matches_jnp():
                 got = fp.m2l_level_fused(w, hl, SOFT, m=m, C=C,
                                          near_only=near_only,
                                          with_phi=with_phi, tile=tile,
-                                         interpret=True)
+                                         interpret=True, exact_dots=exact)
                 assert len(got) == len(ref)
                 for a, b in zip(got, ref):
                     scale = float(jnp.max(jnp.abs(b))) or 1.0

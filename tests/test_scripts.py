@@ -62,6 +62,25 @@ def test_measure_energy_collection(tmp_path):
     assert "J/frame" in r.stdout and "10 frames" in r.stdout
 
 
+def test_serve_trajectory_playback(tmp_path):
+    """Recorded MURBTRAJ frames replay through the live-viewer server."""
+    from murb_tpu.io import TrajectoryWriter
+
+    path = tmp_path / "run.traj"
+    w = TrajectoryWriter(str(path), 32)
+    rng = np.random.default_rng(0)
+    for f in range(4):
+        q = rng.normal(size=(3, 32)).astype(np.float32)
+        w.append(f * 5, q[0], q[1], q[2])
+    w.close()
+
+    r = _run(["scripts/serve_trajectory.py", str(path),
+              "--port", "0", "--fps", "50"])
+    assert r.returncode == 0, r.stderr
+    assert "4 frames x 32 bodies" in r.stdout
+    assert "played 4 frames" in r.stdout
+
+
 def test_two_galaxy_generator_layout(tmp_path):
     out = tmp_path / "mw.tab"
     r = _run(["scripts/make_two_galaxy_tab.py", str(out), "--seed", "3"])
