@@ -105,6 +105,78 @@ def test_key_events_edge_triggered(visu):
     assert visu.window_should_close()
 
 
+def test_cli_live_viewer_end_to_end(tmp_path):
+    """Full loop: murb CLI serving frames, viewer keys steering the run --
+    space pause, PgUp doubling dt, close ending the simulation early."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from murb_tpu.cli import main\n"
+        "sys.exit(main(['-n', '512', '-i', '100000', '--im', 'cpu+naive',"
+        " '--visu-live', '0']))\n" % repo
+    )
+    env = dict(os.environ, PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True, env=env, cwd=repo)
+    try:
+        port = None
+        deadline = time.time() + 60
+        lines = []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            lines.append(line)
+            m = re.search(r"http://127\.0\.0\.1:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, "viewer URL never printed:\n" + "".join(lines)
+
+        def info():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/info", timeout=10) as r:
+                return json.loads(r.read())
+
+        def key(k):
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/key",
+                data=json.dumps({"key": k}).encode(), method="POST"),
+                timeout=10).read()
+
+        deadline = time.time() + 60
+        while info()["frame"] < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert info()["frame"] >= 2          # frames are streaming
+
+        key("space")                          # pause
+        time.sleep(0.6)
+        f0 = info()
+        assert f0["paused"]
+        time.sleep(0.5)
+        assert info()["frame"] == f0["frame"]  # loop frozen
+        key("pageup")
+        key("space")                          # resume (dt key consumed next)
+        deadline = time.time() + 30
+        while info()["dt"] != 7200.0 and time.time() < deadline:
+            time.sleep(0.1)
+        assert info()["dt"] == 7200.0         # PgUp doubled the default dt
+
+        key("close")
+        out, _ = proc.communicate(timeout=60)
+        assert "Simulation ended." in out
+        assert proc.returncode == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_factory_selects_live(monkeypatch):
     from murb_tpu.utils.args import MurbConfig
 
