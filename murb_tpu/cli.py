@@ -119,6 +119,7 @@ def build_engine(cfg: MurbConfig):
         chunk=cfg.chunk, block_i=cfg.block_i, block_j=cfg.block_j,
         shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
         adapt_every=cfg.adapt_every,
+        m2l_dots=cfg.m2l_dots,
         autotune=True if cfg.autotune else None,
         **extra,
     )

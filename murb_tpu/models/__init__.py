@@ -89,7 +89,8 @@ def _build_registry():
         "tpu+proxy",
         lambda b, **kw: E.ProxyEngine(
             b, **_filter(kw, "m", "cells", "levels", "tol", "max_m",
-                         "heavy_k", "box_margin", "adapt_every", "cost_slack")
+                         "heavy_k", "box_margin", "adapt_every", "cost_slack",
+                         "m2l_dots")
         ),
         aliases=("fmm", "barnes-hut"),
     )

@@ -214,7 +214,8 @@ class ProxyEngine(EulerAccelEngine):
     def __init__(self, bodies, soft=None, dt=None, *, m: int = 0,
                  cells: int = 0, levels: int = 0, tol: float = 1e-4,
                  max_m: int = 32, heavy_k: int = 1, box_margin: float = 1.5,
-                 adapt_every: int = 0, cost_slack: float = 30.0, **kw):
+                 adapt_every: int = 0, cost_slack: float = 30.0,
+                 m2l_dots: str = "fp32", **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -230,6 +231,9 @@ class ProxyEngine(EulerAccelEngine):
         self.heavy_k = heavy_k
         self.adapt_every = int(adapt_every)
         self.cost_slack = cost_slack
+        if m2l_dots not in ("fp32", "mixed", "bf16x3"):
+            raise ValueError(f"unknown m2l_dots tier: {m2l_dots!r}")
+        self.m2l_dots = m2l_dots
         self._auto = m == 0 and levels == 0
         if self._auto:
             self._configure()
@@ -327,7 +331,8 @@ class ProxyEngine(EulerAccelEngine):
             from murb_tpu.ops.fmm import acc_fmm
 
             return acc_fmm(qx, qy, qz, gm, self.soft, m=self.m,
-                           levels=self.levels, heavy_k=self.heavy_k)
+                           levels=self.levels, heavy_k=self.heavy_k,
+                           m2l_dots=self.m2l_dots)
         from murb_tpu.ops.proxy import acc_proxy
 
         return acc_proxy(qx, qy, qz, gm, self.soft, m=self.m,

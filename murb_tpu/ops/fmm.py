@@ -99,9 +99,10 @@ def _m2m_matrix(m: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _offsets_paired(reach: int) -> tuple[np.ndarray, np.ndarray]:
-    """Canonical offset list for the cube |o|_inf <= reach, one entry per
-    {+o, -o} pair -> (offsets (K, 3), neg_valid (K,)).
+def _offsets_paired(reach: int,
+                    min_inf: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical offset list for the shell min_inf <= |o|_inf <= reach, one
+    entry per {+o, -o} pair -> (offsets (K, 3), neg_valid (K,)).
 
     The transfer matrices satisfy T_d(-o) = -T_d(o)^T, so each pair shares
     one build; ``neg_valid`` is 0 for the o = 0 entry (no mirror)."""
@@ -109,12 +110,24 @@ def _offsets_paired(reach: int) -> tuple[np.ndarray, np.ndarray]:
     offs = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
     canon, neg = [], []
     for o in offs:
+        if np.abs(o).max() < min_inf:
+            continue
         first = next((x for x in o if x != 0), 0)
         if first < 0:
             continue  # its mirror is canonical
         canon.append(o)
         neg.append(0.0 if first == 0 else 1.0)
     return (np.asarray(canon, np.int32), np.asarray(neg, np.float32))
+
+
+# The three offset subsets of a level sweep.  ``expand`` is the full
+# expand(near(l-1)) cube; ``near`` (|o|_inf <= 1) is what gets handled one
+# level deeper (subtracted at every level but the finest); ``far`` is their
+# difference -- expand = near + far pairwise-exactly, which licenses
+# running the two shells at different matmul precision (the near terms
+# carry the cancellation-critical bulk of the force, the far shell is
+# smooth and small).
+_SUBSETS = {"expand": (3, 0), "near": (1, 0), "far": (3, 2)}
 
 
 # ------------------------------------------------------------------- P2M
@@ -194,9 +207,10 @@ def _parity_mask(o, even, C: int):
             & mk(o[2])[None, None, :]).reshape(C ** 3, 1)
 
 
-def m2l_gather(w, *, m: int, C: int, near_only: bool = False):
+def m2l_gather(w, *, m: int, C: int, subset: str = "expand"):
     """Stacked shifted (and parity-masked) expansions for every canonical
-    offset pair: (wp (K, C^3, m^3), wn (K, C^3, m^3), offsets, neg_valid).
+    offset pair of ``subset`` ("expand" | "near" | "far", see _SUBSETS):
+    (wp (K, C^3, m^3), wn (K, C^3, m^3), offsets, neg_valid).
 
     The dense-form operands of the level sweep, shared by the jnp and the
     Pallas-fused M2L: wp[k] is the +o_k-shifted weight grid, wn[k] the
@@ -207,14 +221,14 @@ def m2l_gather(w, *, m: int, C: int, near_only: bool = False):
     wpad = jnp.pad(wg, ((3, 3), (3, 3), (3, 3), (0, 0)))
     idx = jnp.arange(C)
     even = (idx % 2) == 0
-    offsets, neg_valid = _offsets_paired(1 if near_only else 3)
+    offsets, neg_valid = _offsets_paired(*_SUBSETS[subset])
 
     def shifted(o):
         ws = jax.lax.dynamic_slice(
             wpad, (3 + o[0], 3 + o[1], 3 + o[2], jnp.int32(0)),
             (C, C, C, m3)
         ).reshape(C ** 3, m3)
-        if not near_only:
+        if subset != "near":
             ws = jnp.where(_parity_mask(o, even, C), ws,
                            jnp.asarray(0.0, dtype))
         return ws
@@ -229,16 +243,17 @@ def m2l_gather(w, *, m: int, C: int, near_only: bool = False):
     return wp, wn, offsets, neg_valid
 
 
-def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
+def m2l_level(w, hl, soft, *, m: int, C: int, subset: str = "expand",
               with_phi: bool = False):
     """Node force fields (fx, fy, fz[, phi]), each (C^3, m^3), from the
     level's expansions.
 
-    ``near_only`` selects the 27-offset near list (no parity); otherwise the
-    343-offset expansion list with parity masks on |o_d| = 3.  Out-of-grid
-    offsets read zero-padded weights, so small grids truncate for free.
-    ``with_phi`` adds the node potential as a fourth field (shares the same
-    rsqrt build; used by tracking).
+    ``subset`` selects the offset list (_SUBSETS): "near" is the 27-offset
+    list (no parity); "expand" the 343-offset expansion list with parity
+    masks on |o_d| = 3; "far" their difference.  Out-of-grid offsets read
+    zero-padded weights, so small grids truncate for free.  ``with_phi``
+    adds the node potential as a fourth field (shares the same rsqrt
+    build; used by tracking).
     """
     dtype = w.dtype
     m3 = m ** 3
@@ -250,7 +265,7 @@ def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
     idx = jnp.arange(C)
     even = (idx % 2) == 0
 
-    offsets, neg_valid = _offsets_paired(1 if near_only else 3)
+    offsets, neg_valid = _offsets_paired(*_SUBSETS[subset])
     nf = 4 if with_phi else 3
 
     # Flat per-node coordinate vectors (m^3,) in x-major order; the
@@ -268,7 +283,7 @@ def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
             wpad, (3 + o[0], 3 + o[1], 3 + o[2], jnp.int32(0)),
             (C, C, C, m3)
         ).reshape(C ** 3, m3)
-        if not near_only:
+        if subset != "near":
             ws = jnp.where(_parity_mask(o, even, C), ws,
                            jnp.asarray(0.0, dtype))
         return ws
@@ -311,26 +326,50 @@ def m2l_level(w, hl, soft, *, m: int, C: int, near_only: bool = False,
 
 # --------------------------------------------------------- downward pass
 def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
-                   with_phi: bool = False, fused: bool = False):
+                   with_phi: bool = False, fused: bool = False,
+                   m2l_dots: str = "fp32"):
     """Finest-level node force fields (fx, fy, fz[, phi]) via the full
     hierarchy: coarser expansions by M2M, per-level expand-minus-near M2L,
     fields interpolated down with L2L.  ``fused`` routes eligible level
-    sweeps through the Pallas kernel (ops/fmm_pallas.m2l_level_fused)."""
+    sweeps through the Pallas kernel (ops/fmm_pallas.m2l_level_fused).
+
+    ``m2l_dots`` sets the fused sweeps' matmul tier: "fp32" (6-pass
+    emulation everywhere, the default), "bf16x3" (3-pass splits
+    everywhere), or "mixed" -- the near shell (|o|_inf <= 1) at fp32 and
+    the far shell at bf16x3, splitting the expand list via
+    expand = near + far (pairwise exact).  Measured at N=200k random,
+    m=10, L=2 (scripts/m2l_tier_probe.py): fp32 14.3 ms / 1.6e-5 max
+    force err; mixed 14.5 ms / 2.0e-4; bf16x3 11.7 ms / 2.9e-4.  The far
+    shell -- not the cancellation-heavy near one -- dominates the split
+    error, so "mixed" buys little; fp32 stays the default and "bf16x3"
+    is the tolerance-relaxed fast tier."""
     ws = {levels: w_finest}
     for l in range(levels - 1, 0, -1):
         ws[l] = m2m(ws[l + 1], m=m, C=2 ** (l + 1))
 
-    def level_sweep(w, hl, C, near_only):
+    def fused_sweep(w, hl, C, subset, tile):
+        from murb_tpu.ops.fmm_pallas import m2l_level_fused
+
+        if m2l_dots == "mixed" and subset == "expand":
+            near = m2l_level_fused(w, hl, soft, m=m, C=C, subset="near",
+                                   with_phi=with_phi, tile=tile,
+                                   exact_dots=True)
+            far = m2l_level_fused(w, hl, soft, m=m, C=C, subset="far",
+                                  with_phi=with_phi, tile=tile,
+                                  exact_dots=False)
+            return tuple(a + b for a, b in zip(near, far))
+        return m2l_level_fused(w, hl, soft, m=m, C=C, subset=subset,
+                               with_phi=with_phi, tile=tile,
+                               exact_dots=m2l_dots != "bf16x3")
+
+    def level_sweep(w, hl, C, subset):
         if fused:
-            from murb_tpu.ops.fmm_pallas import (m2l_fused_tile,
-                                                 m2l_level_fused)
+            from murb_tpu.ops.fmm_pallas import m2l_fused_tile
 
             tile = m2l_fused_tile(m, C, 4 if with_phi else 3)
             if tile:
-                return m2l_level_fused(w, hl, soft, m=m, C=C,
-                                       near_only=near_only,
-                                       with_phi=with_phi, tile=tile)
-        return m2l_level(w, hl, soft, m=m, C=C, near_only=near_only,
+                return fused_sweep(w, hl, C, subset, tile)
+        return m2l_level(w, hl, soft, m=m, C=C, subset=subset,
                          with_phi=with_phi)
 
     l0 = min(2, levels)  # level 1's expand and near lists coincide (C=2)
@@ -340,12 +379,12 @@ def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
         hl = h / C
         if f is not None:
             f = tuple(l2l(fd, m=m, C=C // 2) for fd in f)
-        contrib = level_sweep(ws[l], hl, C, near_only=False)
+        contrib = level_sweep(ws[l], hl, C, subset="expand")
         f = contrib if f is None else tuple(
             a + b for a, b in zip(f, contrib)
         )
         if l < levels:
-            near = level_sweep(ws[l], hl, C, near_only=True)
+            near = level_sweep(ws[l], hl, C, subset="near")
             f = tuple(a - b for a, b in zip(f, near))
     return f
 
@@ -415,16 +454,19 @@ def fmm_order(halfwidth: float, soft: float, levels: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor"),
+    static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
+                     "m2l_dots"),
 )
 def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
-            heavy_k: int = 1,
-            heavy_factor: float = DEFAULT_HEAVY_FACTOR) -> Accel:
+            heavy_k: int = 1, heavy_factor: float = DEFAULT_HEAVY_FACTOR,
+            m2l_dots: str = "fp32") -> Accel:
     """All-pairs softened-gravity accelerations via the L-level hierarchy.
 
     Same outer contract as ops/proxy.acc_proxy: heavy bodies are excluded
     from the far field and corrected exactly (as sources via an N x k sweep,
-    as targets via a k x N sweep)."""
+    as targets via a k x N sweep).  ``m2l_dots`` picks the level sweeps'
+    matmul tier (see fmm_field_grid: "fp32" default, "bf16x3" fast tier,
+    "mixed" = fp32 near shell + bf16x3 far shell)."""
     dtype = qx.dtype
     n = qx.shape[0]
     gm_pos = gm > 0
@@ -449,7 +491,8 @@ def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
         w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
     else:
         w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
-    fx, fy, fz = fmm_field_grid(w, h, soft, m=m, levels=levels, fused=True)
+    fx, fy, fz = fmm_field_grid(w, h, soft, m=m, levels=levels, fused=True,
+                                m2l_dots=m2l_dots)
     if block:
         ax, ay, az = l2p_grid_fused(qx, qy, qz, c, h, (fx, fy, fz),
                                     m=m, C=C, block=block)

@@ -152,10 +152,10 @@ def _m2l_kernel(*refs, tile: int, nf: int, with_phi: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "C", "near_only", "with_phi", "tile", "interpret",
+    static_argnames=("m", "C", "subset", "with_phi", "tile", "interpret",
                      "exact_dots"),
 )
-def m2l_level_fused(w, hl, soft, *, m: int, C: int, near_only: bool = False,
+def m2l_level_fused(w, hl, soft, *, m: int, C: int, subset: str = "expand",
                     with_phi: bool = False, tile: int = 256,
                     interpret: bool = False, exact_dots: bool = True):
     """Node force fields (fx, fy, fz[, phi]), each (C^3, m^3) -- the fused
@@ -181,8 +181,7 @@ def m2l_level_fused(w, hl, soft, *, m: int, C: int, near_only: bool = False,
     cblk = min(c3, 256)
     nc = c3 // cblk
 
-    wp, wn, offsets, _ = m2l_gather(w.astype(f32), m=m, C=C,
-                                    near_only=near_only)
+    wp, wn, offsets, _ = m2l_gather(w.astype(f32), m=m, C=C, subset=subset)
     K = wp.shape[0]
     pad = ((0, 0), (0, 0), (0, m3p - m3))
     wp = jnp.pad(wp, pad)

@@ -181,7 +181,7 @@ def test_fused_grid_anterpolation_matches_jnp():
 
 def test_fused_m2l_matches_jnp():
     """Pallas fused M2L (interpret mode) reproduces the jnp level sweep for
-    every (near_only, with_phi) variant, including a non-tile-divisible
+    every (subset, with_phi) variant, including a non-tile-divisible
     node count (m^3 = 64 vs 125)."""
     from murb_tpu.ops import fmm_pallas as fp
 
@@ -191,12 +191,12 @@ def test_fused_m2l_matches_jnp():
     for (m, C, tile), exact in (((4, 4, 64), True), ((4, 4, 64), False),
                                 ((5, 4, 64), True), ((3, 8, 16), True)):
         w = jnp.asarray(rng.normal(size=(C ** 3, m ** 3)), jnp.float32)
-        for near_only in (False, True):
+        for subset in ("expand", "near", "far"):
             for with_phi in (False, True):
                 ref = fmm.m2l_level(w, hl, SOFT, m=m, C=C,
-                                    near_only=near_only, with_phi=with_phi)
+                                    subset=subset, with_phi=with_phi)
                 got = fp.m2l_level_fused(w, hl, SOFT, m=m, C=C,
-                                         near_only=near_only,
+                                         subset=subset,
                                          with_phi=with_phi, tile=tile,
                                          interpret=True, exact_dots=exact)
                 assert len(got) == len(ref)
@@ -205,6 +205,43 @@ def test_fused_m2l_matches_jnp():
                     np.testing.assert_allclose(
                         np.asarray(a), np.asarray(b), atol=scale * 1e-5,
                         rtol=1e-4)
+
+
+def test_m2l_subset_split_is_exact():
+    """expand = near + far must hold PAIRWISE (same offsets, just split) --
+    the identity that licenses the mixed-precision level sweep."""
+    rng = np.random.default_rng(3)
+    m, C = 4, 4
+    hl = jnp.asarray([1.0e9, 1.0e9, 1.0e9], jnp.float32)
+    w = jnp.asarray(rng.normal(size=(C ** 3, m ** 3)), jnp.float32)
+    full = fmm.m2l_level(w, hl, SOFT, m=m, C=C, subset="expand")
+    near = fmm.m2l_level(w, hl, SOFT, m=m, C=C, subset="near")
+    far = fmm.m2l_level(w, hl, SOFT, m=m, C=C, subset="far")
+    for a, b, c in zip(full, near, far):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(np.asarray(b) + np.asarray(c),
+                                   np.asarray(a), atol=scale * 1e-6)
+    # offset-list sanity: the canonical lists partition (343 = 27 + 316)
+    exp_o, _ = fmm._offsets_paired(*fmm._SUBSETS["expand"])
+    near_o, _ = fmm._offsets_paired(*fmm._SUBSETS["near"])
+    far_o, _ = fmm._offsets_paired(*fmm._SUBSETS["far"])
+    assert len(exp_o) == len(near_o) + len(far_o)
+    key = lambda os: {tuple(o) for o in os.tolist()}
+    assert key(exp_o) == key(near_o) | key(far_o)
+
+
+def test_fmm_m2l_dots_tiers():
+    """All three m2l_dots tiers agree within the solver tolerance on the
+    jnp/interpret path (the on-chip accuracy ladder is recorded by
+    scripts/m2l_prec_probe.py and bench.py)."""
+    s = SCHEMES["random"](1024, 9)
+    gm = jnp.asarray(G, s.qx.dtype) * s.m
+    ref = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
+    for dots in ("fp32", "mixed", "bf16x3"):
+        a = fmm.acc_fmm(s.qx, s.qy, s.qz, gm, SOFT, m=10, levels=2,
+                        m2l_dots=dots)
+        rel = _rel_force_err(a, ref, s.m)
+        assert rel.max() < 1e-4, (dots, rel.max())
 
 
 def test_fused_m2l_tile_eligibility():
@@ -230,6 +267,18 @@ def test_proxy_engine_auto_selects_fmm_for_random_at_scale():
     e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
     assert e.levels >= 2
     assert e.using_proxy
+
+
+def test_proxy_engine_m2l_dots_knob():
+    """The M2L tier is a first-class engine/CLI knob; bad tiers fail fast."""
+    bodies = SCHEMES["random"](1024, 1)
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, levels=2, m=8,
+                      m2l_dots="bf16x3")
+    e.run(1)  # jnp fallback path on CPU; knob is a no-op there but threads
+    assert e.m2l_dots == "bf16x3"
+    with pytest.raises(ValueError, match="m2l_dots"):
+        create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT,
+                      m2l_dots="fp16")
 
 
 def test_proxy_engine_small_n_random_prefers_exact():
