@@ -248,7 +248,6 @@ class ProxyEngine(EulerAccelEngine):
     def _configure(self) -> None:
         """Derive (m, levels/cells, using_proxy) from the CURRENT box --
         the auto policy, shared by construction and mid-run adaptation."""
-        from murb_tpu.ops.fmm import fmm_order, required_levels
         from murb_tpu.ops.proxy import half_extent, required_order
 
         round4 = lambda x: (x + 3) // 4 * 4
@@ -261,8 +260,7 @@ class ProxyEngine(EulerAccelEngine):
         if m1 <= 20:
             m, levels, cells = m1, 0, 1
         else:
-            levels = required_levels(half, self.soft)
-            m = fmm_order(half, self.soft, levels, self.tol)
+            m, levels = self._best_depth(half)
             cells = 1
         self.m = int(m)
         self.levels = int(levels)
@@ -284,6 +282,39 @@ class ProxyEngine(EulerAccelEngine):
             est_direct = 14 * n * n
             if est > self.cost_slack * est_direct:
                 self.using_proxy = False
+
+    def _best_depth(self, half: float) -> tuple[int, int]:
+        """(m, levels) minimizing a measurement-calibrated cost model over
+        candidate depths.
+
+        Depth and order trade off: one level deeper halves the finest
+        cells (eps/h doubles, so the required order drops) but 8x the
+        cell count multiplies the M2L node work.  Flops alone overstate
+        the win: each extra level adds two more level sweeps (each with a
+        ~1 ms fixed cost: operand gather, accumulator init/writeback) plus
+        M2M/L2L interpolation relayouts -- measured on-chip at the N=200k
+        random box, (m=6, L=3) needs 2.7x fewer M2L MACs than (m=10, L=2)
+        yet lands at the same 14.3 ms step (scripts/m2l_tier_probe.py).
+        LEVEL_OVERHEAD charges those fixed costs in MAC-equivalents
+        (~2e10 ~= 1 ms of realized M2L throughput per extra sweep pair),
+        calibrated so the measured-equal configs tie and deeper grids win
+        only when the flop gap is decisive (genuinely wider boxes, where
+        a shallow grid would need m >= 14 and its m^6 blows up).  Any
+        L >= required_levels is valid (deeper finest cells only converge
+        faster); the sweep is a handful of host-side float ops."""
+        from murb_tpu.ops.fmm import fmm_order, required_levels
+
+        LEVEL_OVERHEAD = 3.5e10
+        n = self._state.npad
+        best = None
+        lmin = required_levels(half, self.soft)
+        for levels in range(lmin, max(lmin, 4) + 1):
+            m = fmm_order(half, self.soft, levels, self.tol)
+            est = (8 * n * m**3 + 686 * 8**levels * m**6
+                   + LEVEL_OVERHEAD * (levels - lmin))
+            if best is None or est < best[0]:
+                best = (est, m, levels)
+        return best[1], best[2]
 
     def maybe_adapt(self) -> bool:
         """Mid-run order adaptation: when the system expanded past the

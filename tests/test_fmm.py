@@ -269,6 +269,34 @@ def test_proxy_engine_auto_selects_fmm_for_random_at_scale():
     assert e.using_proxy
 
 
+def test_proxy_engine_depth_cost_tradeoff():
+    """The auto policy sweeps depth with a measurement-calibrated cost
+    model: at the N=200k random box (m=6, L=3) and (m=10, L=2) measured
+    EQUAL on-chip (the flop win is eaten by per-sweep fixed costs), so
+    the policy must keep the shallower, more-accurate grid there -- but
+    a decisively wider box must deepen past required_levels instead of
+    letting m (and its m^6 M2L term) blow up."""
+    from murb_tpu.ops.fmm import required_levels
+
+    bodies = SCHEMES["random"](200_000, 1)
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    from murb_tpu.ops.proxy import half_extent
+
+    half = half_extent(bodies.unpadded())
+    assert e.levels == required_levels(half, SOFT)  # tie -> shallow wins
+
+    # a box 2x wider (lmin=3): the minimum-depth grid needs m=10 and its
+    # m^6 node work dominates; the sweep must deepen to L=4 (m=6)
+    wide_half = half * 2.0
+    lmin_wide = required_levels(wide_half, SOFT)
+    m_wide, l_wide = e._best_depth(wide_half)
+    assert l_wide > lmin_wide
+    from murb_tpu.ops.fmm import fmm_order
+
+    assert m_wide == fmm_order(wide_half, SOFT, l_wide)
+    assert m_wide < fmm_order(wide_half, SOFT, lmin_wide)
+
+
 def test_proxy_engine_m2l_dots_knob():
     """The M2L tier is a first-class engine/CLI knob; bad tiers fail fast."""
     bodies = SCHEMES["random"](1024, 1)
