@@ -101,8 +101,11 @@ def main() -> None:
 
     to_gflops = lambda fps, n=N: 20.0 * n * n * fps / 1024**3
 
-    # headline + exact ladder at N=200k galaxy
-    fps_proxy = measure("tpu+proxy", 50, m=16)
+    # headline + exact ladder at N=200k galaxy.  The fast rows need long
+    # runs: at ~1 ms/step a 50-step window is ~50 ms total and a single
+    # relay hiccup skews it 10%+ (measured 753 vs 935 FPS run-to-run);
+    # 500 steps (~0.5 s) keeps the noise under ~2%.
+    fps_proxy = measure("tpu+proxy", 500, m=16, warmup=20)
     ladder = {
         "tile": measure("tpu+tile", 8),
         "mxu": measure("tpu+mxu", 8),
@@ -112,11 +115,11 @@ def main() -> None:
     fps_exact = ladder["hybrid_2pass"]
 
     # N=500k north-star row (BASELINE.md: 4090 7.8 FPS / ~36.3k)
-    fps_proxy_500k = measure("tpu+proxy", 30, n=500_000, m=16)
+    fps_proxy_500k = measure("tpu+proxy", 200, n=500_000, m=16, warmup=10)
     fps_exact_500k = measure("tpu+hybrid", 4, n=500_000, warmup=2)
 
     # random scheme at N=200k: the multi-level hierarchy vs the exact kernel
-    fps_fmm_random = measure("tpu+proxy", 30, scheme="random")
+    fps_fmm_random = measure("tpu+proxy", 100, scheme="random", warmup=5)
     fps_exact_random = measure("tpu+hybrid", 10, scheme="random")
 
     # measured force errors at the benched N (auditable accuracy claims)

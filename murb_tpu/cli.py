@@ -104,6 +104,8 @@ def build_engine(cfg: MurbConfig):
         proxy_m = fmm_order(half, cfg.softening, fmm_levels)
     if canonical == "tpu+tracking" and kernel == "proxy":
         extra["fused_proxy_m"] = proxy_m  # fused force+potential proxy step
+    elif canonical == "tpu+tracking" and kernel == "fmm":
+        extra["fused_fmm"] = (proxy_m, fmm_levels)  # fused hierarchy step
     elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
                        "tpu+leapfrog+tracking", "tpu+kdk"):
         from murb_tpu.ops import make_acc_fn

@@ -109,7 +109,7 @@ def _build_registry():
     register(
         "tpu+tracking",
         lambda b, **kw: E.TrackingEngine(
-            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m")
+            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm")
         ),
         aliases=("gpu+tracking",),
     )

@@ -675,7 +675,8 @@ class TrackingEngine(EulerAccelEngine):
     def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=jnp.float32, metrics_method: str = "exact",
-                 metrics_proxy_m: int = 16, fused_proxy_m: int = 0, **kw):
+                 metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
+                 fused_fmm: tuple = (), **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -690,6 +691,9 @@ class TrackingEngine(EulerAccelEngine):
         self._metrics_method = metrics_method
         self._metrics_proxy_m = metrics_proxy_m
         self._fused_proxy_m = fused_proxy_m
+        if fused_proxy_m and fused_fmm:
+            raise ValueError("fused_proxy_m and fused_fmm are exclusive")
+        self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):
@@ -708,13 +712,22 @@ class TrackingEngine(EulerAccelEngine):
         (acceleration -> metrics -> update, ref:
         SimulationNBodyCUDAPropertyTracking.cu:121-133)."""
         dt = self._dt
-        if self._fused_proxy_m:
-            from murb_tpu.ops.proxy import force_and_potential_proxy
+        if self._fused_proxy_m or self._fused_fmm:
+            if self._fused_fmm:
+                from murb_tpu.ops.fmm import force_and_potential_fmm
 
-            acc, phi = force_and_potential_proxy(
-                state.qx, state.qy, state.qz, self._gm(state), self.soft,
-                m=self._fused_proxy_m,
-            )
+                acc, phi = force_and_potential_fmm(
+                    state.qx, state.qy, state.qz, self._gm(state),
+                    self.soft, m=self._fused_fmm[0],
+                    levels=self._fused_fmm[1],
+                )
+            else:
+                from murb_tpu.ops.proxy import force_and_potential_proxy
+
+                acc, phi = force_and_potential_proxy(
+                    state.qx, state.qy, state.qz, self._gm(state),
+                    self.soft, m=self._fused_proxy_m,
+                )
             mets = (
                 metrics_mod.energy_from_phi(state, phi, self.soft,
                                             self._metric_dtype),
@@ -734,13 +747,26 @@ class TrackingEngine(EulerAccelEngine):
         return step
 
     def proxy_health(self) -> dict | None:
-        """Validity check for the fused proxy path (same contract as
-        ProxyEngine.proxy_health); None when not using the fused proxy."""
-        if not self._fused_proxy_m:
+        """Validity check for the fused proxy/fmm path (same contract as
+        ProxyEngine.proxy_health); None when using neither."""
+        if not (self._fused_proxy_m or self._fused_fmm):
             return None
         from murb_tpu.ops.proxy import half_extent, required_order
 
         half = half_extent(self._state.unpadded())
+        if self._fused_fmm:
+            from murb_tpu.ops.fmm import fmm_order
+
+            m, levels = self._fused_fmm
+            needed = fmm_order(half, self.soft, levels)
+            return {
+                "using_proxy": True,
+                "m": m,
+                "cells": 1,
+                "levels": levels,
+                "required_m_now": needed,
+                "ok": needed <= m,
+            }
         needed = required_order(half, self.soft)
         return {
             "using_proxy": True,
@@ -832,10 +858,11 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
                  masks, **kw):
         from murb_tpu.core.history import MultiGalaxySimulationHistory
 
-        if kw.get("fused_proxy_m"):
+        if kw.get("fused_proxy_m") or kw.get("fused_fmm"):
             raise ValueError(
-                "fused_proxy_m is not supported with per-galaxy masks; use "
-                "metrics_method='proxy' for fast masked metrics instead"
+                "fused_proxy_m/fused_fmm are not supported with per-galaxy "
+                "masks; use metrics_method='proxy' for fast masked metrics "
+                "instead"
             )
         history = MultiGalaxySimulationHistory(
             num_iterations, num_galaxies=len(masks)

@@ -507,3 +507,69 @@ def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
         jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
     )
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
+                     "m2l_dots"),
+)
+def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
+                            levels: int = 2, heavy_k: int = 1,
+                            heavy_factor: float = DEFAULT_HEAVY_FACTOR,
+                            m2l_dots: str = "fp32"):
+    """(Accel, phi): forces and potential in ONE hierarchy pass -- the
+    multi-level counterpart of ops/proxy.force_and_potential_proxy, for
+    tracking engines on boxes too wide for a single expansion.
+
+    phi_i = sum_j Gm_j * rsqrt(|r_ij|^2 + eps^2) including the
+    (interpolated) j == i self term, exactly like the single-cell proxy
+    and the reference's tile sweep (callers compensate with Gm_i/eps,
+    ref: SimulationNBodyCUDAPropertyTracking.cu:296-302).  The potential
+    rides the level sweeps as a fourth node field sharing every rsqrt
+    build (m2l_level's with_phi), and P2M/bounding box/heavy split are
+    shared with the force field."""
+    dtype = qx.dtype
+    n = qx.shape[0]
+    gm_pos = gm > 0
+    C = 2 ** levels
+
+    c, h = bounding_box(qx, qy, qz, gm_pos)
+    k = max(min(heavy_k, n), 1)
+    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
+    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
+        qx, qy, qz, gm, k, heavy_factor, mean_gm
+    )
+
+    from murb_tpu.ops.fmm_pallas import fmm_fused_block
+
+    block = fmm_fused_block(n, m, C)
+    if block:
+        from murb_tpu.ops.fmm_pallas import l2p_grid_fused, p2m_grid_fused
+
+        w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
+    else:
+        w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
+    fields = fmm_field_grid(w, h, soft, m=m, levels=levels, with_phi=True,
+                            fused=True, m2l_dots=m2l_dots)
+    if block:
+        ax, ay, az, phi = l2p_grid_fused(qx, qy, qz, c, h, fields,
+                                         m=m, C=C, block=block)
+    else:
+        ax, ay, az, phi = l2p_grid(qx, qy, qz, c, h, fields, m=m, C=C)
+    acc = jnp.stack([ax, ay, az], axis=1)
+
+    from murb_tpu.ops.proxy import heavy_source_phi, heavy_target_phi
+
+    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
+    phi = phi + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
+
+    ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
+    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
+    acc = acc.at[top_idx].set(
+        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
+    )
+    phi_h = heavy_target_phi(qx, qy, qz, gm, hq, soft)
+    phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
+
+    return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2]), phi

@@ -147,3 +147,60 @@ def test_tracking_fused_proxy_matches_separate():
                                rtol=1e-5)
     da, db = a.bodies.unpadded(), b.bodies.unpadded()
     np.testing.assert_allclose(db["qx"], da["qx"], rtol=1e-5)
+
+
+def test_fmm_potential_matches_exact():
+    """force_and_potential_fmm: phi vs the exact sweep, acc vs acc_fmm
+    (random scheme -- the wide box the single-cell proxy cannot cover)."""
+    import jax.numpy as jnp
+
+    from murb_tpu.ops.fmm import acc_fmm, force_and_potential_fmm
+
+    s = SCHEMES["random"](1024, 3)
+    gm = jnp.asarray(G, s.qx.dtype) * s.m
+    acc, phi = force_and_potential_fmm(s.qx, s.qy, s.qz, gm, SOFT,
+                                       m=10, levels=2)
+    ref = acc_fmm(s.qx, s.qy, s.qz, gm, SOFT, m=10, levels=2)
+    sel = np.asarray(s.m) > 0
+    scale = float(jnp.max(jnp.abs(ref.ax)))
+    for a, b in ((acc.ax, ref.ax), (acc.ay, ref.ay), (acc.az, ref.az)):
+        np.testing.assert_allclose(np.asarray(a)[sel], np.asarray(b)[sel],
+                                   atol=scale * 1e-5)
+    # exact phi reference (fp64, includes the j == i self term like the
+    # reference's tile sweep, SimulationNBodyCUDAPropertyTracking.cu:296)
+    q = np.stack([np.asarray(s.qx), np.asarray(s.qy), np.asarray(s.qz)])
+    q = q.astype(np.float64)
+    d2 = ((q[:, :, None] - q[:, None, :]) ** 2).sum(0) + float(SOFT) ** 2
+    phi_ref = (np.asarray(gm, np.float64)[None, :] / np.sqrt(d2)).sum(1)
+    np.testing.assert_allclose(np.asarray(phi)[sel], phi_ref[sel],
+                               rtol=1e-3)
+
+
+def test_tracking_fused_fmm_matches_separate():
+    """Fused force+potential hierarchy step == separate fmm force + exact
+    metrics (the tracked-wide-box capability: gpu+tracking at production
+    scale on boxes the single expansion cannot cover)."""
+    from murb_tpu.ops import make_acc_fn
+
+    iters = 3
+    bodies = SCHEMES["random"](1024, 9)
+    a = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters,
+                      acc_fn=make_acc_fn("fmm", m=10, levels=2))
+    b = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, fused_fmm=(10, 2))
+    a.run(iters)
+    b.run(iters)
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-4)
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    np.testing.assert_allclose(db["qx"], da["qx"], rtol=1e-5)
+    health = b.proxy_health()
+    assert health["ok"] and health["levels"] == 2
+
+
+def test_tracking_fused_paths_exclusive():
+    bodies = SCHEMES["random"](512, 1)
+    with pytest.raises(ValueError, match="exclusive"):
+        create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=2, fused_proxy_m=16, fused_fmm=(10, 2))
