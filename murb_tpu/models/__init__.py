@@ -109,14 +109,14 @@ def _build_registry():
     register(
         "tpu+tracking",
         lambda b, **kw: E.TrackingEngine(
-            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm")
+            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm", "m2l_dots")
         ),
         aliases=("gpu+tracking",),
     )
     register(
         "tpu+tracking+multi",
         lambda b, **kw: E.MultiGalaxyTrackingEngine(
-            b, **_filter(kw, "num_iterations", "masks", "acc_fn", "metric_dtype", "fused_proxy_m", "metrics_method", "metrics_proxy_m")
+            b, **_filter(kw, "num_iterations", "masks", "acc_fn", "metric_dtype", "fused_proxy_m", "fused_fmm", "metrics_method", "metrics_proxy_m")
         ),
         aliases=("gpu+tracking+multi",),
     )

@@ -295,11 +295,13 @@ class ProxyEngine(EulerAccelEngine):
         M2M/L2L interpolation relayouts -- measured on-chip at the N=200k
         random box, (m=6, L=3) needs 2.7x fewer M2L MACs than (m=10, L=2)
         yet lands at the same 14.3 ms step (scripts/m2l_tier_probe.py).
-        LEVEL_OVERHEAD charges those fixed costs in MAC-equivalents
-        (~2e10 ~= 1 ms of realized M2L throughput per extra sweep pair),
-        calibrated so the measured-equal configs tie and deeper grids win
-        only when the flop gap is decisive (genuinely wider boxes, where
-        a shallow grid would need m >= 14 and its m^6 blows up).  Any
+        LEVEL_OVERHEAD charges those fixed costs in MAC-equivalents:
+        3.5e10 ~= 1.75 ms at the ~2e10-MACs/ms realized M2L rate,
+        covering the extra level's two additional sweeps plus its
+        M2M/L2L relayouts, calibrated so the measured-equal configs tie
+        and deeper grids win only when the flop gap is decisive
+        (genuinely wider boxes, where a shallow grid would need m >= 14
+        and its m^6 blows up).  Any
         L >= required_levels is valid (deeper finest cells only converge
         faster); the sweep is a handful of host-side float ops."""
         from murb_tpu.ops.fmm import fmm_order, required_levels
@@ -676,7 +678,7 @@ class TrackingEngine(EulerAccelEngine):
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=jnp.float32, metrics_method: str = "exact",
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
-                 fused_fmm: tuple = (), **kw):
+                 fused_fmm: tuple = (), m2l_dots: str = "fp32", **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -694,6 +696,9 @@ class TrackingEngine(EulerAccelEngine):
         if fused_proxy_m and fused_fmm:
             raise ValueError("fused_proxy_m and fused_fmm are exclusive")
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
+        if m2l_dots not in ("fp32", "mixed", "bf16x3"):
+            raise ValueError(f"unknown m2l_dots tier: {m2l_dots!r}")
+        self._m2l_dots = m2l_dots
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):
@@ -719,7 +724,7 @@ class TrackingEngine(EulerAccelEngine):
                 acc, phi = force_and_potential_fmm(
                     state.qx, state.qy, state.qz, self._gm(state),
                     self.soft, m=self._fused_fmm[0],
-                    levels=self._fused_fmm[1],
+                    levels=self._fused_fmm[1], m2l_dots=self._m2l_dots,
                 )
             else:
                 from murb_tpu.ops.proxy import force_and_potential_proxy

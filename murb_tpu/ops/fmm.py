@@ -543,18 +543,24 @@ def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
 
     from murb_tpu.ops.fmm_pallas import fmm_fused_block
 
+    # P2M (nf=1) keeps the force-only gate; the 4-field L2P holds a
+    # 4/3-wider field matrix resident, so it gets the nf-aware cap and
+    # may fall back to jnp independently
     block = fmm_fused_block(n, m, C)
+    block_l2p = fmm_fused_block(n, m, C, nf=4)
     if block:
-        from murb_tpu.ops.fmm_pallas import l2p_grid_fused, p2m_grid_fused
+        from murb_tpu.ops.fmm_pallas import p2m_grid_fused
 
         w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
     else:
         w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
     fields = fmm_field_grid(w, h, soft, m=m, levels=levels, with_phi=True,
                             fused=True, m2l_dots=m2l_dots)
-    if block:
+    if block_l2p:
+        from murb_tpu.ops.fmm_pallas import l2p_grid_fused
+
         ax, ay, az, phi = l2p_grid_fused(qx, qy, qz, c, h, fields,
-                                         m=m, C=C, block=block)
+                                         m=m, C=C, block=block_l2p)
     else:
         ax, ay, az, phi = l2p_grid(qx, qy, qz, c, h, fields, m=m, C=C)
     acc = jnp.stack([ax, ay, az], axis=1)

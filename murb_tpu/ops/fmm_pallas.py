@@ -36,13 +36,18 @@ from murb_tpu.ops.proxy import _cheb_nodes
 from murb_tpu.ops.proxy_pallas import _basis_rows, _bsplit, _tj_nodes, dot3
 
 
-def fmm_fused_block(n: int, m: int, C: int) -> int | None:
+def fmm_fused_block(n: int, m: int, C: int, nf: int = 3) -> int | None:
     """Block size for the fused grid kernels, or None when they don't apply
-    (non-TPU, lane-misaligned n, or a VMEM-busting extended width)."""
+    (non-TPU, lane-misaligned n, or a VMEM-busting extended width).
+
+    ``nf`` is the L2P field count: its resident field matrix is
+    (nf*cm, cm^2), so the 4-field force+potential variant needs a tighter
+    width cap than the 3-field force-only one (P2M has nf=1 and is never
+    the binding stage)."""
     if jax.default_backend() != "tpu" or n % 256 != 0:
         return None
     cm = C * m
-    if cm > 48:  # Eyz footprint: (cm^2, B) fp32
+    if cm > (40 if nf > 3 else 48):  # Eyz (cm^2, B) + fmat (nf*cm, cm^2)
         return None
     from murb_tpu.ops.common import pick_block
 

@@ -163,10 +163,11 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--m2l-dots", dest="m2l_dots", default="fp32",
                      choices=("fp32", "mixed", "bf16x3"),
                      help="FMM level-sweep matmul tier (tpu+proxy "
-                          "hierarchy): fp32 = 6-pass emulation (default, "
-                          "~1.6e-5 force err); bf16x3 = 3-pass splits "
-                          "(~20%% faster, ~3e-4 err); mixed = fp32 near "
-                          "shell + bf16x3 far shell.")
+                          "hierarchy and gpu+tracking --kernel fmm): "
+                          "fp32 = 6-pass emulation (default, ~1.6e-5 "
+                          "force err); bf16x3 = 3-pass splits (~20%% "
+                          "faster, ~3e-4 err); mixed = fp32 near shell + "
+                          "bf16x3 far shell.")
     ext.add_argument("--adapt-every", dest="adapt_every", type=int, default=0,
                      help="re-derive the proxy/fmm order from the current "
                           "box every K iterations and rebuild the step if "

@@ -204,3 +204,16 @@ def test_tracking_fused_paths_exclusive():
     with pytest.raises(ValueError, match="exclusive"):
         create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
                       num_iterations=2, fused_proxy_m=16, fused_fmm=(10, 2))
+
+
+def test_multi_galaxy_rejects_fused_paths():
+    """The per-galaxy-mask engine cannot use the fused single-phi steps;
+    the guard must fire for both (the registry filter forwards them)."""
+    import jax.numpy as jnp
+
+    bodies = SCHEMES["random"](512, 1)
+    masks = [jnp.arange(bodies.npad) < 256, jnp.arange(bodies.npad) >= 256]
+    for kw in ({"fused_proxy_m": 16}, {"fused_fmm": (10, 2)}):
+        with pytest.raises(ValueError, match="fused_"):
+            create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                          num_iterations=2, masks=masks, **kw)

@@ -176,8 +176,14 @@ def test_proxy_scan_run_matches_stepwise():
 def test_fused_pallas_stages_match_xla(n_devices):
     """Interpret-mode parity: the Pallas-fused P2M/L2P must reproduce the
     XLA stages (the fused path is TPU-gated, so without this the CPU suite
-    would never execute those kernels)."""
+    would never execute those kernels).  On the chip suite the REAL
+    kernels run instead: interpret=True on the TPU backend de-splits the
+    bf16x3 dots (XLA folds ah@bh + ah@bl + al@bh into one re-rounded
+    dot, ~3e-3 error; Mosaic never does this to compiled kernels)."""
+    import jax
     import jax.numpy as jnp
+
+    interpret = jax.default_backend() != "tpu"
 
     from murb_tpu.ops.proxy import bases, bounding_box, l2p, p2m
     from murb_tpu.ops.proxy_pallas import l2p_fused_multi, p2m_fused
@@ -192,7 +198,7 @@ def test_fused_pallas_stages_match_xla(n_devices):
     w_ref = np.asarray(p2m(sx, syz, jnp.asarray(gm), m))
     w_fused = np.asarray(
         p2m_fused(s.qx, s.qy, s.qz, jnp.asarray(gm), c, h, m=m, block=256,
-                  interpret=True)
+                  interpret=interpret)
     )
     np.testing.assert_allclose(w_fused, w_ref, rtol=1e-4,
                                atol=1e-6 * np.abs(w_ref).max())
@@ -203,7 +209,7 @@ def test_fused_pallas_stages_match_xla(n_devices):
                    for _ in range(3))
     ref = np.asarray(l2p(sx, syz, Accel(*fields), m))
     got = l2p_fused_multi(s.qx, s.qy, s.qz, c, h, fields, m=m, block=256,
-                          interpret=True)
+                          interpret=interpret)
     got = np.stack([np.asarray(g) for g in got], axis=1)
     np.testing.assert_allclose(got, ref, rtol=1e-4,
                                atol=1e-5 * np.abs(ref).max())
