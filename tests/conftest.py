@@ -34,6 +34,14 @@ if os.environ.get("MURB_TEST_TPU") != "1":
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("MURB_TEST_TPU") == "1":
+    # Chip suite: share the CLI/bench persistent compile cache -- remote
+    # compiles through the relay run minutes per shape, and without this
+    # every suite run recompiles every kernel from scratch.
+    from murb_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -256,11 +256,14 @@ def test_fmm_m2l_dots_tiers():
     s = SCHEMES["random"](1024, 9)
     gm = jnp.asarray(G, s.qx.dtype) * s.m
     ref = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
-    for dots in ("fp32", "mixed", "bf16x3"):
+    # on the chip suite the real fused kernels run: the bf16-split tiers
+    # carry cancellation-amplified error (measured ~2-6e-4 max on-chip,
+    # scripts/m2l_tier_probe.py) -- tier-specific caps
+    for dots, cap in (("fp32", 1e-4), ("mixed", 1e-3), ("bf16x3", 1e-3)):
         a = fmm.acc_fmm(s.qx, s.qy, s.qz, gm, SOFT, m=10, levels=2,
                         m2l_dots=dots)
         rel = _rel_force_err(a, ref, s.m)
-        assert rel.max() < 1e-4, (dots, rel.max())
+        assert rel.max() < cap, (dots, rel.max())
 
 
 def test_fused_mixed_composition():
@@ -296,17 +299,30 @@ def test_fused_mixed_composition():
 
 
 def test_fused_m2l_tile_eligibility():
+    import jax
+
     from murb_tpu.ops.fmm_pallas import m2l_fused_tile
 
-    # CPU backend -> never fused (conftest forces cpu)
-    assert m2l_fused_tile(10, 4, 3) is None
+    if jax.default_backend() == "tpu":
+        assert m2l_fused_tile(10, 4, 3) in (128, 256)
+    else:
+        assert m2l_fused_tile(10, 4, 3) is None  # non-TPU -> never fused
 
 
 def test_fmm_fused_block_eligibility():
+    import jax
+
     from murb_tpu.ops.fmm_pallas import fmm_fused_block
 
-    # CPU backend -> never fused (conftest forces cpu)
-    assert fmm_fused_block(2048, 10, 4) is None
+    if jax.default_backend() == "tpu":
+        assert fmm_fused_block(2048, 10, 4) is not None
+        # 4-field force+potential variant: tighter width cap (cm 40 vs 48)
+        assert fmm_fused_block(2048, 12, 4, nf=4) is None
+        assert fmm_fused_block(2048, 12, 4) is not None
+        # lane-misaligned n never fuses
+        assert fmm_fused_block(2049, 10, 4) is None
+    else:
+        assert fmm_fused_block(2048, 10, 4) is None  # non-TPU -> never
 
 
 # ------------------------------------------------------------------ engine

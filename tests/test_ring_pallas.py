@@ -28,6 +28,18 @@ SOFT = 2.0e8
 DT = 3600.0
 
 
+def _skip_interpret_on_tpu():
+    """The TPU-interpret simulator (simulated HBM/VMEM/DMAs/semaphores +
+    vector-clock race detection) is meant to run on CPU; on the real TPU
+    backend the simulation itself gets lowered to the chip and its
+    compile runs for 25+ minutes before the relay gives up (measured).
+    The protocol validation lives in the CPU suite; the real kernel's
+    on-chip execution is covered by
+    test_engine_ring_pipelined_matches_ppermute."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("TPU-interpret simulation runs on the CPU suite")
+
+
 def _ring_accel(s, gm, d, interp):
     mesh = make_mesh(d)
     fn = jax.shard_map(
@@ -46,6 +58,7 @@ def test_ring_pipelined_matches_oracle(d, n_devices):
     D=2 no-capacity-handshake case) reproduces the full all-pairs sum."""
     if d > n_devices:
         pytest.skip("not enough devices")
+    _skip_interpret_on_tpu()
     s = SCHEMES["galaxy"](1024, 7)
     gm = jnp.asarray(G, s.qx.dtype) * s.m
     ref = acc_naive(s.qx, s.qy, s.qz, gm, SOFT)
@@ -60,6 +73,7 @@ def test_ring_pipelined_race_free(n_devices):
     """The interpreter's vector-clock race detector must stay silent: the
     send/recv/capacity semaphore protocol fully orders every cross-device
     buffer access."""
+    _skip_interpret_on_tpu()
     d = min(4, n_devices)
     s = SCHEMES["random"](512, 3)
     gm = jnp.asarray(G, s.qx.dtype) * s.m
