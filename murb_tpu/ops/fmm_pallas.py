@@ -71,7 +71,11 @@ def m2l_fused_tile(m: int, C: int, nf: int) -> int | None:
                + 8 * cblk * (m3p + tile)    # 2-buffered bf16 wp/wn hi+lo
                + 8 * nf * tile * m3p        # row- and col-stacked T splits
                + 20 * tile * m3p)           # f32 build temporaries
-        if est <= 12 * 2 ** 20:
+        # 14 MiB: the build-temporary term is conservative -- the
+        # (m=10, nf=3, tile=256) config it excluded at the old 12 MiB
+        # budget compiles and runs ~4% faster than tile=128 (measured);
+        # tile=512 genuinely busts (Mosaic compile failure)
+        if est <= 14 * 2 ** 20:
             return tile
     return None
 
