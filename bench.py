@@ -122,6 +122,12 @@ def main() -> None:
     fps_fmm_random = measure("tpu+proxy", 100, scheme="random", warmup=5)
     fps_exact_random = measure("tpu+hybrid", 10, scheme="random")
 
+    # fully tracked run (energy, |L|, density center EVERY step via the
+    # fused force+potential proxy) -- the capability the reference ships
+    # with its metrics kernels disabled (SimulationNBodyCUDALeapfrog.cu)
+    fps_tracked = measure("tpu+tracking", 300, warmup=10,
+                          num_iterations=320, fused_proxy_m=16)
+
     # measured force errors at the benched N (auditable accuracy claims)
     from murb_tpu.ops.fmm import acc_fmm
     from murb_tpu.ops.proxy import acc_proxy
@@ -157,6 +163,7 @@ def main() -> None:
             "fps_exact": round(fps_exact_random, 2),
             "fmm_vs_exact": round(fps_fmm_random / fps_exact_random, 2),
         },
+        "fps_tracked_n200k": round(fps_tracked, 2),
         "force_err": {
             "proxy_galaxy_max": f"{pmax:.2e}",
             "proxy_galaxy_p99": f"{p99:.2e}",
