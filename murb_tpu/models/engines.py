@@ -34,6 +34,13 @@ from murb_tpu.ops.common import Accel
 from murb_tpu.ops.naive import acc_chunked, acc_naive
 
 
+def _check_m2l_dots(tier: str) -> str:
+    """Validate an FMM level-sweep matmul tier (see ops/fmm.fmm_field_grid)."""
+    if tier not in ("fp32", "mixed", "bf16x3"):
+        raise ValueError(f"unknown m2l_dots tier: {tier!r}")
+    return tier
+
+
 class NopEngine(SimulationEngine):
     """Empty engine -- measures harness overhead
     (ref: src/murb/implem/SimulationNBodyNop.cpp:34-36)."""
@@ -231,9 +238,7 @@ class ProxyEngine(EulerAccelEngine):
         self.heavy_k = heavy_k
         self.adapt_every = int(adapt_every)
         self.cost_slack = cost_slack
-        if m2l_dots not in ("fp32", "mixed", "bf16x3"):
-            raise ValueError(f"unknown m2l_dots tier: {m2l_dots!r}")
-        self.m2l_dots = m2l_dots
+        self.m2l_dots = _check_m2l_dots(m2l_dots)
         self._auto = m == 0 and levels == 0
         if self._auto:
             self._configure()
@@ -696,9 +701,7 @@ class TrackingEngine(EulerAccelEngine):
         if fused_proxy_m and fused_fmm:
             raise ValueError("fused_proxy_m and fused_fmm are exclusive")
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
-        if m2l_dots not in ("fp32", "mixed", "bf16x3"):
-            raise ValueError(f"unknown m2l_dots tier: {m2l_dots!r}")
-        self._m2l_dots = m2l_dots
+        self._m2l_dots = _check_m2l_dots(m2l_dots)
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):

@@ -452,6 +452,67 @@ def fmm_order(halfwidth: float, soft: float, levels: int,
     return required_order(halfwidth / 2 ** levels, soft, tol, margin=0)
 
 
+def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
+               heavy_factor, m2l_dots, with_phi):
+    """Shared hierarchy pass behind acc_fmm / force_and_potential_fmm:
+    bounding box, heavy split, anterpolation, level sweeps, and the exact
+    heavy-body corrections -> (acc (n, 3), phi (n,) or None)."""
+    dtype = qx.dtype
+    n = qx.shape[0]
+    gm_pos = gm > 0
+    C = 2 ** levels
+
+    c, h = bounding_box(qx, qy, qz, gm_pos)
+    k = max(min(heavy_k, n), 1)
+    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
+    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
+        qx, qy, qz, gm, k, heavy_factor, mean_gm
+    )
+
+    from murb_tpu.ops.fmm_pallas import fmm_fused_block
+
+    # fused extended-basis anterpolation: one streaming pass, bases and
+    # one-hot masks rebuilt in VMEM (ops/fmm_pallas.py).  P2M (nf=1)
+    # keeps the force-only gate; the with_phi L2P holds a 4/3-wider field
+    # matrix resident, so it gets the nf-aware cap and may fall back to
+    # jnp independently.
+    block = fmm_fused_block(n, m, C)
+    block_l2p = fmm_fused_block(n, m, C, nf=4) if with_phi else block
+    if block:
+        from murb_tpu.ops.fmm_pallas import p2m_grid_fused
+
+        w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
+    else:
+        w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
+    fields = fmm_field_grid(w, h, soft, m=m, levels=levels,
+                            with_phi=with_phi, fused=True,
+                            m2l_dots=m2l_dots)
+    if block_l2p:
+        from murb_tpu.ops.fmm_pallas import l2p_grid_fused
+
+        out = l2p_grid_fused(qx, qy, qz, c, h, fields, m=m, C=C,
+                             block=block_l2p)
+    else:
+        out = l2p_grid(qx, qy, qz, c, h, fields, m=m, C=C)
+    acc = jnp.stack(out[:3], axis=1)
+
+    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
+    ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
+    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
+    acc = acc.at[top_idx].set(
+        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
+    )
+
+    phi = None
+    if with_phi:
+        from murb_tpu.ops.proxy import heavy_source_phi, heavy_target_phi
+
+        phi = out[3] + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
+        phi_h = heavy_target_phi(qx, qy, qz, gm, hq, soft)
+        phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
+    return acc, phi
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
@@ -467,45 +528,9 @@ def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
     as targets via a k x N sweep).  ``m2l_dots`` picks the level sweeps'
     matmul tier (see fmm_field_grid: "fp32" default, "bf16x3" fast tier,
     "mixed" = fp32 near shell + bf16x3 far shell)."""
-    dtype = qx.dtype
-    n = qx.shape[0]
-    gm_pos = gm > 0
-    C = 2 ** levels
-
-    c, h = bounding_box(qx, qy, qz, gm_pos)
-
-    k = max(min(heavy_k, n), 1)
-    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
-    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
-        qx, qy, qz, gm, k, heavy_factor, mean_gm
-    )
-
-    from murb_tpu.ops.fmm_pallas import fmm_fused_block
-
-    block = fmm_fused_block(n, m, C)
-    if block:
-        # fused extended-basis anterpolation: one streaming pass, bases and
-        # one-hot masks rebuilt in VMEM (ops/fmm_pallas.py)
-        from murb_tpu.ops.fmm_pallas import l2p_grid_fused, p2m_grid_fused
-
-        w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
-    else:
-        w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
-    fx, fy, fz = fmm_field_grid(w, h, soft, m=m, levels=levels, fused=True,
-                                m2l_dots=m2l_dots)
-    if block:
-        ax, ay, az = l2p_grid_fused(qx, qy, qz, c, h, (fx, fy, fz),
-                                    m=m, C=C, block=block)
-    else:
-        ax, ay, az = l2p_grid(qx, qy, qz, c, h, (fx, fy, fz), m=m, C=C)
-    acc = jnp.stack([ax, ay, az], axis=1)
-
-    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
-    ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
-    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
-    acc = acc.at[top_idx].set(
-        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
-    )
+    acc, _ = _fmm_solve(qx, qy, qz, gm, soft, m=m, levels=levels,
+                        heavy_k=heavy_k, heavy_factor=heavy_factor,
+                        m2l_dots=m2l_dots, with_phi=False)
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])
 
 
@@ -529,53 +554,7 @@ def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
     rides the level sweeps as a fourth node field sharing every rsqrt
     build (m2l_level's with_phi), and P2M/bounding box/heavy split are
     shared with the force field."""
-    dtype = qx.dtype
-    n = qx.shape[0]
-    gm_pos = gm > 0
-    C = 2 ** levels
-
-    c, h = bounding_box(qx, qy, qz, gm_pos)
-    k = max(min(heavy_k, n), 1)
-    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
-    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
-        qx, qy, qz, gm, k, heavy_factor, mean_gm
-    )
-
-    from murb_tpu.ops.fmm_pallas import fmm_fused_block
-
-    # P2M (nf=1) keeps the force-only gate; the 4-field L2P holds a
-    # 4/3-wider field matrix resident, so it gets the nf-aware cap and
-    # may fall back to jnp independently
-    block = fmm_fused_block(n, m, C)
-    block_l2p = fmm_fused_block(n, m, C, nf=4)
-    if block:
-        from murb_tpu.ops.fmm_pallas import p2m_grid_fused
-
-        w = p2m_grid_fused(qx, qy, qz, gm_eff, c, h, m=m, C=C, block=block)
-    else:
-        w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
-    fields = fmm_field_grid(w, h, soft, m=m, levels=levels, with_phi=True,
-                            fused=True, m2l_dots=m2l_dots)
-    if block_l2p:
-        from murb_tpu.ops.fmm_pallas import l2p_grid_fused
-
-        ax, ay, az, phi = l2p_grid_fused(qx, qy, qz, c, h, fields,
-                                         m=m, C=C, block=block_l2p)
-    else:
-        ax, ay, az, phi = l2p_grid(qx, qy, qz, c, h, fields, m=m, C=C)
-    acc = jnp.stack([ax, ay, az], axis=1)
-
-    from murb_tpu.ops.proxy import heavy_source_phi, heavy_target_phi
-
-    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
-    phi = phi + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
-
-    ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
-    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
-    acc = acc.at[top_idx].set(
-        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
-    )
-    phi_h = heavy_target_phi(qx, qy, qz, gm, hq, soft)
-    phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
-
+    acc, phi = _fmm_solve(qx, qy, qz, gm, soft, m=m, levels=levels,
+                          heavy_k=heavy_k, heavy_factor=heavy_factor,
+                          m2l_dots=m2l_dots, with_phi=True)
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2]), phi

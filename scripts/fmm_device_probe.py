@@ -49,18 +49,12 @@ w0 = jax.block_until_ready(
     if block else fmm.p2m_grid(qx, qy, qz, gm, c, h, m=M, C=C))
 
 
+from murb_tpu.utils.probe import chain_time as _chain_time
+
+
 def chain_time(name, body):
     """body(carry_scalar) -> new_scalar; carry forces serialization."""
-    def loop(z0):
-        return jax.lax.fori_loop(0, ITERS, lambda i, z: body(z), z0)
-
-    jl = jax.jit(loop)
-    jax.block_until_ready(jl(jnp.float32(0)))  # compile
-    t0 = time.time()
-    out = jax.block_until_ready(jl(jnp.float32(0)))
-    dt = (time.time() - t0) / ITERS * 1000
-    print(f"{name:36s} {dt:8.3f} ms")
-    return out
+    _chain_time(name, body, ITERS)
 
 
 eps = jnp.float32(1e-30)

@@ -44,24 +44,15 @@ ref = type("R", (), {"ax": refx, "ay": refy, "az": refz})
 rn = np.sqrt(refx ** 2 + refy ** 2 + refz ** 2)
 floor = np.maximum(rn, rn.max() * 1e-6)
 
+from murb_tpu.utils.probe import chain_time
+
 ITERS = 20
 for dots in ("fp32", "mixed", "bf16x3"):
     fn = lambda q: fmm.acc_fmm(q, s.qy, s.qz, gm, SOFT, m=M,
                                levels=LEVELS, m2l_dots=dots)
     a = jax.block_until_ready(fn(s.qx))
-
-    # chained fori_loop: ONE dispatch, each iteration's input depends on
-    # the previous output (CLAUDE.md micro-timing rule -- unchained
-    # repeat loops measure relay latency, not device time)
-    def loop(z):
-        body = lambda i, z: fn(s.qx + z * jnp.float32(1e-30)).ax[0]
-        return jax.lax.fori_loop(0, ITERS, body, z)
-
-    jl = jax.jit(loop)
-    jax.block_until_ready(jl(jnp.float32(0)))
-    t0 = time.time()
-    jax.block_until_ready(jl(jnp.float32(0)))
-    dt = (time.time() - t0) / ITERS * 1000
+    dt = chain_time(dots, lambda z: fn(s.qx + z * jnp.float32(1e-30)).ax[0],
+                    ITERS, quiet=True)
     err = np.sqrt(
         (np.asarray(a.ax[:SAMPLE]) - np.asarray(ref.ax)) ** 2
         + (np.asarray(a.ay[:SAMPLE]) - np.asarray(ref.ay)) ** 2

@@ -46,14 +46,11 @@ rn = np.linalg.norm(ref, axis=1)
 floor = np.maximum(rn, rn.max() * 1e-6)
 
 
+from murb_tpu.utils.probe import chain_time
+
+
 def chain(name, body):
-    jl = jax.jit(lambda z: jax.lax.fori_loop(0, ITERS,
-                                             lambda i, z: body(z), z))
-    jax.block_until_ready(jl(jnp.float32(0)))
-    t0 = time.time()
-    jax.block_until_ready(jl(jnp.float32(0)))
-    print(f"  {name:30s} {(time.time() - t0) / ITERS * 1000:8.3f} ms",
-          flush=True)
+    chain_time("  " + name, body, ITERS)
 
 
 eps = jnp.float32(1e-30)
