@@ -308,7 +308,7 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
 
     from murb_tpu.ops.proxy_pallas import fused_block
 
-    block = fused_block(n)
+    block = fused_block(n, m)
     # branch only for P2M; the node sweeps are shared
     if block:
         from murb_tpu.ops.proxy_pallas import l2p_fused_multi, p2m_fused
@@ -446,7 +446,7 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
 
     from murb_tpu.ops.proxy_pallas import fused_block
 
-    block = fused_block(n) if cells == 1 else None
+    block = fused_block(n, m) if cells == 1 else None
     if block:
         # Pallas-fused stages: bases rebuilt in VMEM, no (N, m^2) HBM
         # intermediate (ops/proxy_pallas.py).
@@ -525,7 +525,7 @@ def _two_level(qx, qy, qz, gm_eff, c, h, soft, m: int, dtype):
 
     from murb_tpu.ops.proxy_pallas import fused_block
 
-    block = fused_block(n)
+    block = fused_block(n, m)
     if block:
         from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
 

@@ -28,15 +28,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def fused_block(n: int) -> int | None:
+def fused_block(n: int, m: int = 16) -> int | None:
     """Block size for the fused kernels, or None when they don't apply
     (non-TPU backend or lane-misaligned body count).  The single source of
-    the eligibility rule used by every call site."""
+    the eligibility rule used by every call site.
+
+    The block target is VMEM-capped by the in-kernel syz (m^2, B) build
+    (f32 + bf16 hi/lo splits ~ 8 bytes/entry, ~8 MiB budget): m <= 16
+    runs B=4096 (measured 5% faster than 2048 at N=200k via fewer grid
+    steps), m <= 22 runs 2048, larger orders halve again."""
     if jax.default_backend() != "tpu" or n % 256 != 0:
         return None
     from murb_tpu.ops.common import pick_block
 
-    return pick_block(n, 2048)
+    target = 4096
+    while m * m * target * 8 > 8 * 2 ** 20 and target > 256:
+        target //= 2
+    return pick_block(n, target)
 
 
 def _tj_nodes(m: int) -> np.ndarray:
