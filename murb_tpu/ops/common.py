@@ -1,10 +1,42 @@
 """Shared kernel helpers: FLOPs model, acceleration container, block utils."""
 from __future__ import annotations
 
+import sys
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+_FP32_NOTIFIED: set[str] = set()
+
+
+def notify_fp32_compute(kernel: str, dtype) -> None:
+    """Honesty notice for fp64 state entering an fp32 compute path.
+
+    The TPU has no f64 vector unit, so every Pallas kernel computes its
+    sweep in fp32 (2-pass bf16 MXU weights where applicable) regardless of
+    the state dtype.  The reference instantiates all engines for float AND
+    double (ref: src/murb/implem/SimulationNBodyNaive.cpp instantiations);
+    here ``--precision fp64`` is bit-honest only on the jnp paths
+    (cpu+naive / xla+chunked / the un-fused proxy stages under x64) --
+    anything touching a Pallas kernel carries ~1e-6 relative force error.
+    Printed once per kernel tag so frame loops aren't spammed; fires at
+    trace time (dtype is static under jit)."""
+    if kernel in _FP32_NOTIFIED:
+        return
+    try:
+        if jnp.dtype(dtype) != jnp.float64:
+            return
+    except TypeError:
+        return
+    _FP32_NOTIFIED.add(kernel)
+    print(
+        f"[murb-tpu] note: {kernel} computes in fp32 internally (the TPU "
+        f"has no f64 vector unit); fp64 state is down-cast for the sweep "
+        f"(~1e-6 relative force error). For bit-honest fp64 use the jnp "
+        f"engines (--im cpu+naive / cpu+optim).",
+        file=sys.stderr,
+    )
 
 
 class Accel(NamedTuple):

@@ -439,6 +439,40 @@ def required_levels(halfwidth: float, soft: float, *, a_target: float = 1.0,
                max_levels)
 
 
+def best_depth(n: int, halfwidth: float, soft: float,
+               tol: float = 1e-4) -> tuple[int, int]:
+    """(m, levels) minimizing a measurement-calibrated cost model over
+    candidate depths -- the auto policy shared by the single-chip
+    ProxyEngine and the distributed shard+fmm mode.
+
+    Depth and order trade off: one level deeper halves the finest cells
+    (eps/h doubles, so the required order drops) but 8x the cell count
+    multiplies the M2L node work.  Flops alone overstate the win: each
+    extra level adds two more level sweeps (each with a ~1 ms fixed cost:
+    operand gather, accumulator init/writeback) plus M2M/L2L interpolation
+    relayouts -- measured on-chip at the N=200k random box, (m=6, L=3)
+    needs 2.7x fewer M2L MACs than (m=10, L=2) yet lands at the same
+    14.3 ms step (scripts/m2l_tier_probe.py).  LEVEL_OVERHEAD charges
+    those fixed costs in MAC-equivalents: 3.5e10 ~= 1.75 ms at the
+    ~2e10-MACs/ms realized M2L rate, covering the extra level's two
+    additional sweeps plus its M2M/L2L relayouts, calibrated so the
+    measured-equal configs tie and deeper grids win only when the flop
+    gap is decisive (genuinely wider boxes, where a shallow grid would
+    need m >= 14 and its m^6 blows up).  Any L >= required_levels is
+    valid (deeper finest cells only converge faster); the sweep is a
+    handful of host-side float ops."""
+    LEVEL_OVERHEAD = 3.5e10
+    best = None
+    lmin = required_levels(halfwidth, soft)
+    for levels in range(lmin, max(lmin, 4) + 1):
+        m = fmm_order(halfwidth, soft, levels, tol)
+        est = (8 * n * m**3 + 686 * 8**levels * m**6
+               + LEVEL_OVERHEAD * (levels - lmin))
+        if best is None or est < best[0]:
+            best = (est, m, levels)
+    return best[1], best[2]
+
+
 def fmm_order(halfwidth: float, soft: float, levels: int,
               tol: float = 1e-4) -> int:
     """Chebyshev order for the hierarchical solver: the binding constraint
@@ -478,6 +512,10 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
     # jnp independently.
     block = fmm_fused_block(n, m, C)
     block_l2p = fmm_fused_block(n, m, C, nf=4) if with_phi else block
+    if block or block_l2p:
+        from murb_tpu.ops.common import notify_fp32_compute
+
+        notify_fp32_compute("tpu+proxy/fmm (fused anterpolation)", dtype)
     if block:
         from murb_tpu.ops.fmm_pallas import p2m_grid_fused
 

@@ -7,9 +7,15 @@ Division of labor per (j, i) block, chosen from measured v5e costs
         (~10 fp32 VPU slots/pair + ~4 for the hardware rsqrt -- measured
         at the VPU's throughput ceiling)
   MXU:  P = A_p @ W  with A_p rows [Gm*qx_j, Gm*qy_j, Gm*qz_j, Gm_j]
-        (one bf16 pass; G*m folded into A_p so the VPU never multiplies by
-        mass -- the reference's devGM trick taken one step further,
-        ref: SimulationNBodyCUDATileFullDevice.cu:41-45)
+        (G*m folded into A_p so the VPU never multiplies by mass -- the
+        reference's devGM trick taken one step further,
+        ref: SimulationNBodyCUDATileFullDevice.cu:41-45).  A_p is ALWAYS
+        Dekker-split into bf16 hi+lo row blocks (16 rows total): an M=8
+        matmul already pads to the MXU's 128 result rows, so widening M to
+        16 is free -- ~16-bit mantissa on every A_p element for one extra
+        (8, BI) VPU add.  (Measured: the un-split bf16 A_p -- not W --
+        dominated the 2-pass error, ~3e-3 max vs the ~3e-5 this split
+        restores.)
   VPU epilogue (O(N)): a_i = P[0:3, i] - q_i * P[3, i]
 
 Why not the norm-expansion matmul for d2 (ops/mxu.py)?  A K=8 or M=8 matmul
@@ -19,12 +25,13 @@ both faster and exactly accurate (no cancellation).
 
 ``passes`` controls W precision on the MXU:
   1 (default) -- W rounded to bf16; ~0.4% error per weight, which averages
-      out over the j sum to ~1e-5..1e-3 relative force error concentrated in
+      out over the j sum to ~1e-4..4e-3 relative force error concentrated in
       cancellation-dominated components; passes the reference's 1e-3/1e-1
       trajectory tolerances (tests/test_engines_differential.py).
   2 -- Dekker-style split W = W_hi + W_lo (two bf16 matmuls): ~16-bit
-      mantissa on every weight, indistinguishable from fp32 for this
-      problem; ~20% slower.
+      mantissa on every weight; with the always-on A_p split this lands at
+      ~3e-5 max relative force error (measured vs the exact oracle at
+      N=2048, both schemes) -- genuinely fp32-class; ~20% slower.
 
 Replaces the reference's CUDA flagship kernels (gpu+tile+full / ...200k,
 ref: SimulationNBodyCUDATileFullDevice.cu:53-153) as the production path.
@@ -60,12 +67,16 @@ def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,
     w32 = inv * inv * inv
 
     def dot_p(w):
-        return jax.lax.dot_general(
+        # A_p carries hi rows 0:8 and Dekker lo rows 8:16; M=16 costs the
+        # same as M=8 on the 128-row systolic array, so the hi+lo fold is
+        # one (8, BI) VPU add per pass.
+        p16 = jax.lax.dot_general(
             ap[...], w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
+        return p16[0:8, :] + p16[8:16, :]
 
     # ---- MXU: P[(gm qx, gm qy, gm qz, gm), i] = sum_j A_p[:, j] * W[j, i]
     w_hi = w32.astype(jnp.bfloat16)
@@ -101,6 +112,9 @@ def acc_hybrid_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     """Accelerations of the i-set due to the j-set via the hybrid kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from murb_tpu.ops.common import notify_fp32_compute
+
+    notify_fp32_compute("tpu+hybrid", qxi.dtype)
     ni = qxi.shape[0]
     nj = qxj.shape[0]
     # Measured optimum at large N: wide i-lanes, 1k j-rows per block.
@@ -111,12 +125,17 @@ def acc_hybrid_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     soft2 = float(soft) ** 2
 
     zeros = jnp.zeros_like(gmj)
-    a_p = jnp.stack([gmj * qxj, gmj * qyj, gmj * qzj, gmj,
-                     zeros, zeros, zeros, zeros]).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    a32 = jnp.stack([gmj * qxj, gmj * qyj, gmj * qzj, gmj,
+                     zeros, zeros, zeros, zeros]).astype(f32)
+    a_hi = a32.astype(jnp.bfloat16)
+    a_p = jnp.concatenate(
+        [a_hi, (a32 - a_hi.astype(f32)).astype(jnp.bfloat16)]
+    )  # (16, nj): bf16 hi rows + Dekker lo rows
 
     jspec = pl.BlockSpec((bj, 1), lambda i, j: (j, 0))
     ispec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
-    aspec = pl.BlockSpec((8, bj), lambda i, j: (0, j))
+    aspec = pl.BlockSpec((16, bj), lambda i, j: (0, j))
     ospec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
 
     col = lambda a: a.reshape(-1, 1)

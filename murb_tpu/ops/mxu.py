@@ -106,6 +106,9 @@ def acc_mxu_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from murb_tpu.ops.common import notify_fp32_compute
+
+    notify_fp32_compute("tpu+mxu", qxi.dtype)
     ni = qxi.shape[0]
     nj = qxj.shape[0]
     bi = block_i or pick_block(ni, 512)

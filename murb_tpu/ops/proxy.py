@@ -309,6 +309,10 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
     from murb_tpu.ops.proxy_pallas import fused_block
 
     block = fused_block(n, m)
+    if block:
+        from murb_tpu.ops.common import notify_fp32_compute
+
+        notify_fp32_compute("tpu+proxy (fused anterpolation)", dtype)
     # branch only for P2M; the node sweeps are shared
     if block:
         from murb_tpu.ops.proxy_pallas import l2p_fused_multi, p2m_fused
@@ -448,6 +452,9 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
 
     block = fused_block(n, m) if cells == 1 else None
     if block:
+        from murb_tpu.ops.common import notify_fp32_compute
+
+        notify_fp32_compute("tpu+proxy (fused anterpolation)", dtype)
         # Pallas-fused stages: bases rebuilt in VMEM, no (N, m^2) HBM
         # intermediate (ops/proxy_pallas.py).
         from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused

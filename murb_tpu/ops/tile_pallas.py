@@ -78,6 +78,9 @@ def acc_tile_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     """Accelerations of the i-set due to the j-set (rectangular sweep)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from murb_tpu.ops.common import notify_fp32_compute
+
+    notify_fp32_compute("tpu+tile", qxi.dtype)
     ni = qxi.shape[0]
     nj = qxj.shape[0]
     bi = block_i or pick_block(ni, 256)

@@ -100,18 +100,59 @@ def test_mxu_matches_naive(scheme_seed):
     assert_within_rel(np.asarray(b.az), np.asarray(a.az), 5e-4, "mxu az", rms_floor=5e-4)
 
 
-def test_pallas_kernels_fp64_state():
-    """fp64 state must not crash the Pallas kernels (they compute in fp32
-    internally; regression for the output-ref dtype mismatch)."""
+def test_pallas_kernels_fp64_state(capfd):
+    """fp64 state through the Pallas kernels: computed in fp32 internally
+    (the TPU has no f64 vector unit), announced by a one-line notice, and
+    held to HONEST measured tolerances vs the x64 oracle -- tile is a pure
+    fp32 sweep (~4e-7), hybrid passes=2 is bf16-split MXU (~5e-5).  The
+    silent-downgrade behavior of round 2 (fp32 physics, no warning, 1e-2
+    test tolerance) is the regression this guards against."""
     import jax.numpy as jnp
 
+    from murb_tpu.ops import common as opscommon
     from murb_tpu.ops.hybrid import acc_hybrid
     from murb_tpu.ops.tile_pallas import acc_tile
 
+    opscommon._FP32_NOTIFIED.clear()
     s = init_random(512, 2).astype(jnp.float64)
     gm = (np.float64(G) * np.asarray(s.m)).astype(s.m.dtype)
-    ref = acc_naive(s.qx, s.qy, s.qz, jnp.asarray(gm), SOFT)
-    for fn, name in ((acc_tile, "tile"), (acc_hybrid, "hybrid")):
+    ref = acc_naive(s.qx, s.qy, s.qz, jnp.asarray(gm), SOFT)  # true fp64
+    assert ref.ax.dtype == jnp.float64
+    for fn, name, eps in ((acc_tile, "tile", 5e-6),
+                          (lambda *a, **k: acc_hybrid(*a, passes=2, **k),
+                           "hybrid", 2e-4)):
         got = fn(s.qx, s.qy, s.qz, jnp.asarray(gm), SOFT)
-        assert_within_rel(np.asarray(got.ax), np.asarray(ref.ax), 1e-2,
-                          f"fp64 {name}", rms_floor=1e-2)
+        assert got.ax.dtype == jnp.float64  # state dtype round-trips
+        assert_within_rel(np.asarray(got.ax), np.asarray(ref.ax), eps,
+                          f"fp64 {name}", rms_floor=eps)
+    err = capfd.readouterr().err
+    assert "computes in fp32 internally" in err, err
+    # once per kernel tag, not per call
+    assert err.count("tpu+tile computes") == 1
+
+
+def test_jnp_engines_bit_honest_fp64():
+    """cpu+naive / xla+chunked with fp64 state ARE fp64: machine-epsilon
+    agreement with a numpy float64 reference (the honest-fp64 story: the
+    jnp engines give the double instantiation the reference compiles for
+    every engine, ref: SimulationNBodyNaive.cpp instantiations)."""
+    import jax.numpy as jnp
+
+    from murb_tpu.ops.naive import acc_chunked
+
+    s = init_random(512, 7).astype(jnp.float64)
+    gm = np.float64(G) * np.asarray(s.m, np.float64)
+    q = np.stack([np.asarray(s.qx), np.asarray(s.qy), np.asarray(s.qz)])
+    q = q.astype(np.float64)
+    d = q[:, None, :] - q[:, :, None]                     # [dim, i, j]
+    d2 = (d ** 2).sum(0) + np.float64(SOFT) ** 2
+    w = gm[None, :] * d2 ** -1.5
+    acc_np = np.stack([(w * d[i]).sum(1) for i in range(3)], 1)
+
+    for fn, name in ((acc_naive, "naive"), (acc_chunked, "chunked")):
+        got = fn(s.qx, s.qy, s.qz, jnp.asarray(gm), SOFT)
+        assert got.ax.dtype == jnp.float64
+        g = np.stack([np.asarray(got.ax), np.asarray(got.ay),
+                      np.asarray(got.az)], 1)
+        assert_within_rel(g, acc_np, 1e-12, f"fp64 {name}",
+                          rms_floor=1e-13)
