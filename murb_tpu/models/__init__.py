@@ -131,7 +131,8 @@ def _build_registry():
         "tpu+leapfrog+tracking",
         lambda b, **kw: E.LeapfrogTrackingEngine(
             b, **_filter(kw, "num_iterations", "history", "acc_fn",
-                         "metric_dtype", "metrics_method", "metrics_proxy_m")
+                         "metric_dtype", "metrics_method", "metrics_proxy_m",
+                         "fused_proxy_m", "fused_fmm", "m2l_dots")
         ),
         aliases=("gpu+leapfrog+tracking",),
     )
@@ -149,7 +150,7 @@ def _build_registry():
             return ShardedEngine(
                 b, mode=mode,
                 **_filter(kw, "shards", "gpu_fraction", "block_i", "block_j",
-                          "ring_impl", "kernel"),
+                          "ring_impl", "kernel", "m", "levels", "m2l_dots"),
             )
 
         return factory
@@ -158,6 +159,7 @@ def _build_registry():
     register("shard+ring", _shard("ring"))
     register("shard+uneven", _shard("uneven"), aliases=("hetero",))
     register("shard+proxy", _shard("proxy"))
+    register("shard+fmm", _shard("fmm"))
 
 
 _build_registry()

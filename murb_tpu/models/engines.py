@@ -41,6 +41,65 @@ def _check_m2l_dots(tier: str) -> str:
     return tier
 
 
+def _fused_force_phi(qx, qy, qz, gm, soft, fused_proxy_m, fused_fmm,
+                     m2l_dots):
+    """(Accel, phi) in ONE far-field pass -- the shared fused
+    force+potential dispatch of the tracking engines (single-level proxy
+    or L-level hierarchy; see ops/proxy.force_and_potential_proxy and
+    ops/fmm.force_and_potential_fmm)."""
+    if fused_fmm:
+        from murb_tpu.ops.fmm import force_and_potential_fmm
+
+        return force_and_potential_fmm(
+            qx, qy, qz, gm, soft, m=fused_fmm[0], levels=fused_fmm[1],
+            m2l_dots=m2l_dots,
+        )
+    from murb_tpu.ops.proxy import force_and_potential_proxy
+
+    return force_and_potential_proxy(qx, qy, qz, gm, soft, m=fused_proxy_m)
+
+
+def _phi_metrics(state, phi, soft, out_dtype):
+    """(energy, |L|, density center) with the potential already in hand --
+    what the fused force+potential pass buys: no second O(N*m^3) sweep."""
+    return (
+        metrics_mod.energy_from_phi(state, phi, soft, out_dtype),
+        metrics_mod.angular_momentum(state, out_dtype),
+        metrics_mod.density_center(state, out_dtype),
+    )
+
+
+def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm) -> dict | None:
+    """Validity check for a tracking engine's fused far-field path (same
+    contract as ProxyEngine.proxy_health); None when using neither."""
+    if not (fused_proxy_m or fused_fmm):
+        return None
+    from murb_tpu.ops.proxy import half_extent, required_order
+
+    half = half_extent(state.unpadded())
+    if fused_fmm:
+        from murb_tpu.ops.fmm import fmm_order
+
+        m, levels = fused_fmm
+        needed = fmm_order(half, soft, levels)
+        return {
+            "using_proxy": True,
+            "m": m,
+            "cells": 1,
+            "levels": levels,
+            "required_m_now": needed,
+            "ok": needed <= m,
+        }
+    needed = required_order(half, soft)
+    return {
+        "using_proxy": True,
+        "m": fused_proxy_m,
+        "cells": 1,
+        "required_m_now": needed,
+        "ok": needed <= fused_proxy_m,
+    }
+
+
 class NopEngine(SimulationEngine):
     """Empty engine -- measures harness overhead
     (ref: src/murb/implem/SimulationNBodyNop.cpp:34-36)."""
@@ -289,39 +348,11 @@ class ProxyEngine(EulerAccelEngine):
                 self.using_proxy = False
 
     def _best_depth(self, half: float) -> tuple[int, int]:
-        """(m, levels) minimizing a measurement-calibrated cost model over
-        candidate depths.
+        """(m, levels) from the shared depth-cost policy (ops/fmm.best_depth:
+        depth-for-order trade calibrated against on-chip measurements)."""
+        from murb_tpu.ops.fmm import best_depth
 
-        Depth and order trade off: one level deeper halves the finest
-        cells (eps/h doubles, so the required order drops) but 8x the
-        cell count multiplies the M2L node work.  Flops alone overstate
-        the win: each extra level adds two more level sweeps (each with a
-        ~1 ms fixed cost: operand gather, accumulator init/writeback) plus
-        M2M/L2L interpolation relayouts -- measured on-chip at the N=200k
-        random box, (m=6, L=3) needs 2.7x fewer M2L MACs than (m=10, L=2)
-        yet lands at the same 14.3 ms step (scripts/m2l_tier_probe.py).
-        LEVEL_OVERHEAD charges those fixed costs in MAC-equivalents:
-        3.5e10 ~= 1.75 ms at the ~2e10-MACs/ms realized M2L rate,
-        covering the extra level's two additional sweeps plus its
-        M2M/L2L relayouts, calibrated so the measured-equal configs tie
-        and deeper grids win only when the flop gap is decisive
-        (genuinely wider boxes, where a shallow grid would need m >= 14
-        and its m^6 blows up).  Any
-        L >= required_levels is valid (deeper finest cells only converge
-        faster); the sweep is a handful of host-side float ops."""
-        from murb_tpu.ops.fmm import fmm_order, required_levels
-
-        LEVEL_OVERHEAD = 3.5e10
-        n = self._state.npad
-        best = None
-        lmin = required_levels(half, self.soft)
-        for levels in range(lmin, max(lmin, 4) + 1):
-            m = fmm_order(half, self.soft, levels, self.tol)
-            est = (8 * n * m**3 + 686 * 8**levels * m**6
-                   + LEVEL_OVERHEAD * (levels - lmin))
-            if best is None or est < best[0]:
-                best = (est, m, levels)
-        return best[1], best[2]
+        return best_depth(self._state.npad, half, self.soft, self.tol)
 
     def maybe_adapt(self) -> bool:
         """Mid-run order adaptation: when the system expanded past the
@@ -550,6 +581,13 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
     levels).  Under ``run()`` the middle phases collapse into one fori_loop
     writing metrics into a capacity-sized device buffer, same structure as
     TrackingEngine._tracked_run_loop.
+
+    ``fused_proxy_m`` / ``fused_fmm`` fuse the potential into the force
+    sweep (ONE far-field pass per iteration, mirroring TrackingEngine).
+    The fusion is exact for every phase: the force positions equal the new
+    visible state's positions by construction (first: x_0; middle/last:
+    the x_n buffer becomes the visible q), so phi evaluated where the
+    force is evaluated IS phi at the metrics state.
     """
 
     tag = "tpu+leapfrog+tracking"
@@ -557,7 +595,8 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
     def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=jnp.float32, metrics_method: str = "exact",
-                 metrics_proxy_m: int = 16, **kw):
+                 metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
+                 fused_fmm: tuple = (), m2l_dots: str = "fp32", **kw):
         super().__init__(bodies, soft, dt, num_iterations=num_iterations,
                          acc_fn=acc_fn, **kw)
         self.history = history or SimulationHistory(num_iterations)
@@ -566,6 +605,11 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         self._metric_dtype = metric_dtype
         self._metrics_method = metrics_method
         self._metrics_proxy_m = metrics_proxy_m
+        if fused_proxy_m and fused_fmm:
+            raise ValueError("fused_proxy_m and fused_fmm are exclusive")
+        self._fused_proxy_m = fused_proxy_m
+        self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
+        self._m2l_dots = _check_m2l_dots(m2l_dots)
 
     def _metrics(self, state):
         return metrics_mod.all_metrics(
@@ -573,26 +617,51 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
             method=self._metrics_method, proxy_m=self._metrics_proxy_m,
         )
 
+    def _phase_force_mets(self, px, py, pz, gm, finish):
+        """Shared phase body: force (and fused phi) at positions p, then
+        ``finish(acc) -> (new_state, new_aux)``, then metrics at the new
+        visible state (whose positions are p -- see class docstring)."""
+        if self._fused_proxy_m or self._fused_fmm:
+            acc, phi = _fused_force_phi(
+                px, py, pz, gm, self.soft,
+                self._fused_proxy_m, self._fused_fmm, self._m2l_dots,
+            )
+            ns, na = finish(acc)
+            return ns, na, acc, _phi_metrics(ns, phi, self.soft,
+                                             self._metric_dtype)
+        acc = self._acc_fn(px, py, pz, gm)
+        ns, na = finish(acc)
+        return ns, na, acc, self._metrics(ns)
+
+    def proxy_health(self) -> dict | None:
+        """Validity check for the fused far-field path (same contract as
+        ProxyEngine.proxy_health); None when using neither."""
+        return _fused_proxy_health(self._state, self.soft,
+                                   self._fused_proxy_m, self._fused_fmm)
+
     def _build_phase_steps(self):
         dt = self._dt
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def first(state, aux):
-            acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
-            ns, na = leapfrog_first(state, aux, acc, dt)
-            return ns, na, acc, self._metrics(ns)
+            return self._phase_force_mets(
+                state.qx, state.qy, state.qz, self._gm(state),
+                lambda acc: leapfrog_first(state, aux, acc, dt),
+            )
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def middle(state, aux):
-            acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz, self._gm(state))
-            ns, na = leapfrog_middle(state, aux, acc, dt)
-            return ns, na, acc, self._metrics(ns)
+            return self._phase_force_mets(
+                aux.nqx, aux.nqy, aux.nqz, self._gm(state),
+                lambda acc: leapfrog_middle(state, aux, acc, dt),
+            )
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def last(state, aux):
-            acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz, self._gm(state))
-            ns, na = leapfrog_last(state, aux)
-            return ns, na, acc, self._metrics(ns)
+            return self._phase_force_mets(
+                aux.nqx, aux.nqy, aux.nqz, self._gm(state),
+                lambda acc: leapfrog_last(state, aux),
+            )
 
         return first, middle, last
 
@@ -634,10 +703,10 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
 
                 def body(k, carry):
                     state, aux, bufs = carry
-                    acc = self._acc_fn(aux.nqx, aux.nqy, aux.nqz,
-                                       self._gm(state))
-                    state, aux = leapfrog_middle(state, aux, acc, dt)
-                    mets = self._metrics(state)
+                    state, aux, _acc, mets = self._phase_force_mets(
+                        aux.nqx, aux.nqy, aux.nqz, self._gm(state),
+                        lambda acc: leapfrog_middle(state, aux, acc, dt),
+                    )
                     k_safe = jnp.minimum(k, cap - 1)
                     valid = k < cap
 
@@ -721,27 +790,11 @@ class TrackingEngine(EulerAccelEngine):
         SimulationNBodyCUDAPropertyTracking.cu:121-133)."""
         dt = self._dt
         if self._fused_proxy_m or self._fused_fmm:
-            if self._fused_fmm:
-                from murb_tpu.ops.fmm import force_and_potential_fmm
-
-                acc, phi = force_and_potential_fmm(
-                    state.qx, state.qy, state.qz, self._gm(state),
-                    self.soft, m=self._fused_fmm[0],
-                    levels=self._fused_fmm[1], m2l_dots=self._m2l_dots,
-                )
-            else:
-                from murb_tpu.ops.proxy import force_and_potential_proxy
-
-                acc, phi = force_and_potential_proxy(
-                    state.qx, state.qy, state.qz, self._gm(state),
-                    self.soft, m=self._fused_proxy_m,
-                )
-            mets = (
-                metrics_mod.energy_from_phi(state, phi, self.soft,
-                                            self._metric_dtype),
-                metrics_mod.angular_momentum(state, self._metric_dtype),
-                metrics_mod.density_center(state, self._metric_dtype),
+            acc, phi = _fused_force_phi(
+                state.qx, state.qy, state.qz, self._gm(state), self.soft,
+                self._fused_proxy_m, self._fused_fmm, self._m2l_dots,
             )
+            mets = _phi_metrics(state, phi, self.soft, self._metric_dtype)
         else:
             acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
             mets = self._metrics(state)
@@ -757,32 +810,8 @@ class TrackingEngine(EulerAccelEngine):
     def proxy_health(self) -> dict | None:
         """Validity check for the fused proxy/fmm path (same contract as
         ProxyEngine.proxy_health); None when using neither."""
-        if not (self._fused_proxy_m or self._fused_fmm):
-            return None
-        from murb_tpu.ops.proxy import half_extent, required_order
-
-        half = half_extent(self._state.unpadded())
-        if self._fused_fmm:
-            from murb_tpu.ops.fmm import fmm_order
-
-            m, levels = self._fused_fmm
-            needed = fmm_order(half, self.soft, levels)
-            return {
-                "using_proxy": True,
-                "m": m,
-                "cells": 1,
-                "levels": levels,
-                "required_m_now": needed,
-                "ok": needed <= m,
-            }
-        needed = required_order(half, self.soft)
-        return {
-            "using_proxy": True,
-            "m": self._fused_proxy_m,
-            "cells": 1,
-            "required_m_now": needed,
-            "ok": needed <= self._fused_proxy_m,
-        }
+        return _fused_proxy_health(self._state, self.soft,
+                                   self._fused_proxy_m, self._fused_fmm)
 
     def compute_one_iteration(self):
         if self._tracked_step is None:

@@ -27,6 +27,19 @@ TPU-native rebuild of the reference's MPI engine
     bodies are gathered as a D*k list and corrected exactly with a psum of
     their forces.  Communication per step is independent of N.
 
+  * ``fmm`` -- the wide-box production multi-chip path: same skeleton as
+    ``proxy`` but the far field is the L-level Chebyshev hierarchy
+    (ops/fmm.py).  Each shard runs P2M of ITS bodies into the finest-level
+    cell grid locally, ONE ``psum`` merges the (C^3, m^3) expansion tensor
+    (~256 KB at m=10, L=2 -- still independent of N), the tiny M2M/M2L/L2L
+    sweeps run redundantly per shard, and L2P stays local.  This fills the
+    parallelism x algorithm cell the reference's any-scheme MPI engine
+    covers by brute force (ref: SimulationNBodyMultiNode.cpp:94-148):
+    boxes too wide for a single global expansion now scale over the mesh
+    with N-independent communication instead of falling back to the
+    O(N)-comm ring.  ``shard+proxy`` auto-promotes to this mode when the
+    box demands it (mirroring the single-chip ProxyEngine's auto policy).
+
   * ``uneven`` -- capability parity with the hetero engine's fraction knob
     (env MURB_HETERO_GPU_FRACTION, ref: SimulationNBodyHetero.cu:16-18,
     222-227): shard 0 computes a tunable fraction of the i-rows, the rest
@@ -97,7 +110,8 @@ class ShardedEngine(SimulationEngine):
                  mode: str = "ring", shards: int = 0,
                  gpu_fraction: float | None = None, min_n: int | None = None,
                  kernel: str = "auto", block_i: int = 0, block_j: int = 0,
-                 ring_impl: str = "auto", **kw):
+                 ring_impl: str = "auto", m: int = 0, levels: int = 0,
+                 m2l_dots: str = "fp32", **kw):
         import os
 
         kwargs = {}
@@ -124,26 +138,35 @@ class ShardedEngine(SimulationEngine):
             # pure-CPU fallback for small N (ref: .cu:229-257).
             shards = 1
 
-        if mode == "proxy":
-            # Pick the Chebyshev order from the initial box (same policy as
-            # the single-chip ProxyEngine); fall back to the exact ring mode
-            # when the box is too large relative to the softening.
+        self.m2l_dots = m2l_dots
+        if mode in ("proxy", "fmm"):
+            # Pick the solver geometry from the initial box, same policy
+            # ladder as the single-chip ProxyEngine: a single global
+            # expansion while the box admits m <= 24; the L-level
+            # hierarchy (shard+fmm) for wider boxes -- scale-free, so
+            # there is no exact-kernel fallback for big boxes anymore.
             from murb_tpu import DEFAULT_SOFTENING
-            from murb_tpu.ops.proxy import required_order
+            from murb_tpu.ops.proxy import half_extent, required_order
 
-            d = bodies.unpadded()
-            sel = d["m"] > 0
-            half = max(
-                (d[kk][sel].max() - d[kk][sel].min()) / 2.0
-                for kk in ("qx", "qy", "qz")
-            ) if sel.any() else 1.0
+            half = half_extent(bodies.unpadded())
             soft_val = kwargs.get("soft", DEFAULT_SOFTENING)
-            m = required_order(half * 1.5, soft_val, 1e-4)
-            m = (m + 3) // 4 * 4
-            if m > 24:
-                mode = "ring"
-            else:
-                self.proxy_m = m
+            if mode == "proxy":
+                m_auto = required_order(half * 1.5, soft_val, 1e-4)
+                m_auto = (m_auto + 3) // 4 * 4
+                if m_auto > 24:
+                    mode = "fmm"
+                else:
+                    self.proxy_m = m if m else m_auto
+                    self.proxy_heavy_k = 1
+            if mode == "fmm":
+                from murb_tpu.ops.fmm import best_depth
+
+                if m and levels:
+                    self.fmm_m, self.fmm_levels = int(m), int(levels)
+                else:
+                    self.fmm_m, self.fmm_levels = best_depth(
+                        bodies.npad, half, soft_val
+                    )
                 self.proxy_heavy_k = 1
 
         self.mesh = make_mesh(shards)
@@ -183,7 +206,9 @@ class ShardedEngine(SimulationEngine):
         if self.mode == "uneven":
             return self._uneven_local_step()
         if self.mode == "proxy":
-            return self._proxy_local_step()
+            return self._far_local_step(self._proxy_far_solver())
+        if self.mode == "fmm":
+            return self._far_local_step(self._fmm_far_solver())
         raise ValueError(f"unknown shard mode {self.mode!r}")
 
     def _make_step(self):
@@ -256,9 +281,16 @@ class ShardedEngine(SimulationEngine):
         if jax.default_backend() == "tpu":
             interp = False
         else:
+            import os
+
             from jax.experimental.pallas import tpu as pltpu
 
-            interp = pltpu.InterpretParams()
+            # MURB_RING_DETECT_RACES=1 turns on the interpreter's DMA/
+            # semaphore race detector (slower; used by the multichip dryrun
+            # so the driver artifact validates the overlap protocol).
+            interp = pltpu.InterpretParams(
+                detect_races=bool(os.environ.get("MURB_RING_DETECT_RACES"))
+            )
 
         def step(state: BodyState):
             gm_l = jnp.asarray(G, state.dtype) * state.m
@@ -271,22 +303,92 @@ class ShardedEngine(SimulationEngine):
 
         return step
 
-    # ---------------------------------------------------------- mode: proxy
-    def _proxy_local_step(self):
+    # ----------------------------------------------------- modes: proxy/fmm
+    def _proxy_far_solver(self):
+        """Far field via ONE global Chebyshev expansion: local P2M, psum of
+        the m^3 coefficients, redundant tiny node sweep, local L2P."""
+        from murb_tpu.ops.proxy import bases, l2p, m2l, p2m
+
+        m = self.proxy_m
+        soft = self.soft
+
+        def solve(qx, qy, qz, gm_eff, c, h, dtype):
+            n_local = qx.shape[0]
+            fused = jax.default_backend() == "tpu" and n_local % 256 == 0
+            if fused:
+                from murb_tpu.ops.common import pick_block
+                from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
+
+                block = pick_block(n_local, 2048)
+                w_local = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m,
+                                    block=block)
+            else:
+                sx, syz = bases(qx, qy, qz, c, h, m)
+                w_local = p2m(sx, syz, gm_eff, m)
+            w = jax.lax.psum(w_local, SHARD_AXIS)
+
+            f = m2l(c, h, w, soft, m, dtype)      # redundant tiny sweep
+            if fused:
+                return l2p_fused(qx, qy, qz, c, h, f.ax, f.ay, f.az,
+                                 m=m, block=block)
+            return l2p(sx, syz, f, m)             # local rows only
+
+        return solve
+
+    def _fmm_far_solver(self):
+        """Far field via the L-level hierarchy: local P2M into the finest
+        cell grid, ONE psum of the (C^3, m^3) expansion tensor (the only
+        collective -- N-independent), redundant M2M/M2L/L2L per shard
+        (tiny: the node grids are KBs), local L2P."""
+        from murb_tpu.ops.fmm import fmm_field_grid, l2p_grid, p2m_grid
+        from murb_tpu.ops.fmm_pallas import fmm_fused_block
+
+        m = self.fmm_m
+        levels = self.fmm_levels
+        C = 2 ** levels
+        soft = self.soft
+        m2l_dots = self.m2l_dots
+
+        def solve(qx, qy, qz, gm_eff, c, h, dtype):
+            n_local = qx.shape[0]
+            block = fmm_fused_block(n_local, m, C)
+            if block:
+                from murb_tpu.ops.fmm_pallas import (
+                    l2p_grid_fused,
+                    p2m_grid_fused,
+                )
+
+                w_local = p2m_grid_fused(qx, qy, qz, gm_eff, c, h,
+                                         m=m, C=C, block=block)
+            else:
+                w_local = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
+            w = jax.lax.psum(w_local, SHARD_AXIS)
+
+            fields = fmm_field_grid(w, h, soft, m=m, levels=levels,
+                                    fused=True, m2l_dots=m2l_dots)
+            if block:
+                out = l2p_grid_fused(qx, qy, qz, c, h, fields, m=m, C=C,
+                                     block=block)
+            else:
+                out = l2p_grid(qx, qy, qz, c, h, fields, m=m, C=C)
+            return jnp.stack(out, axis=1)
+
+        return solve
+
+    def _far_local_step(self, far_solver):
+        """Shared skeleton of the N-independent-communication modes
+        (proxy / fmm): global bounding box (pmin/pmax), globally consistent
+        heavy split, the mode's far-field solve, then exact heavy-body
+        corrections (heavy sources via the gathered D*k list; heavy targets
+        via a psum of local partial rows)."""
         from murb_tpu.ops.proxy import (
-            bases,
+            DEFAULT_HEAVY_FACTOR,
             heavy_source_acc,
             heavy_split,
-            l2p,
-            m2l,
-            p2m,
         )
-
-        from murb_tpu.ops.proxy import DEFAULT_HEAVY_FACTOR
 
         dt = self._dt
         soft = self.soft
-        m = self.proxy_m
         k = self.proxy_heavy_k
         heavy_factor = DEFAULT_HEAVY_FACTOR
 
@@ -322,27 +424,7 @@ class ShardedEngine(SimulationEngine):
             hq_g = (gather(hq_l[0]), gather(hq_l[1]), gather(hq_l[2]))
             hgm_g = gather(hgm_l)
 
-            # P2M locally; ONE psum of the m^3 coefficients is the only
-            # N-independent collective of the far field
-            n_local = qx.shape[0]
-            fused = jax.default_backend() == "tpu" and n_local % 256 == 0
-            if fused:
-                from murb_tpu.ops.common import pick_block
-                from murb_tpu.ops.proxy_pallas import l2p_fused, p2m_fused
-
-                block = pick_block(n_local, 2048)
-                w_local = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m, block=block)
-            else:
-                sx, syz = bases(qx, qy, qz, c, h, m)
-                w_local = p2m(sx, syz, gm_eff, m)
-            w = jax.lax.psum(w_local, SHARD_AXIS)
-
-            f = m2l(c, h, w, soft, m, dtype)      # redundant tiny sweep
-            if fused:
-                acc = l2p_fused(qx, qy, qz, c, h, f.ax, f.ay, f.az,
-                                m=m, block=block)
-            else:
-                acc = l2p(sx, syz, f, m)          # local rows only
+            acc = far_solver(qx, qy, qz, gm_eff, c, h, dtype)
             acc = acc + heavy_source_acc(qx, qy, qz, hq_g, hgm_g, soft)
 
             # exact forces on the global heavy list: psum of local partials
