@@ -114,13 +114,23 @@ def build_engine(cfg: MurbConfig):
             kernel, block_i=cfg.block_i, block_j=cfg.block_j,
             chunk=cfg.chunk, m=proxy_m or 16, levels=fmm_levels or 2,
         )
+    # Default-on mid-run adaptation for the frame loop: a long expanding
+    # system rebuilds its proxy/fmm order every 64 iterations instead of
+    # silently degrading until the post-run warning.  Off under --scan
+    # (the whole run is one device dispatch; the warning covers it), and
+    # an explicit --adapt-every (including 0) always wins.  Valid configs
+    # are never churned (ProxyEngine.maybe_adapt rebuilds only on
+    # *invalid* health), so the no-recompile property is preserved.
+    adapt_every = cfg.adapt_every
+    if adapt_every is None:
+        adapt_every = 0 if cfg.scan else 64
     engine = create_engine(
         cfg.impl_tag, bodies,
         soft=cfg.softening, dt=cfg.dt,
         num_iterations=cfg.n_iterations,
         chunk=cfg.chunk, block_i=cfg.block_i, block_j=cfg.block_j,
         shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
-        adapt_every=cfg.adapt_every,
+        adapt_every=adapt_every,
         m2l_dots=cfg.m2l_dots,
         autotune=True if cfg.autotune else None,
         **extra,

@@ -56,7 +56,9 @@ class MurbConfig:
     # override the checkpoint's saved dt/softening.
     dt_explicit: bool = False
     soft_explicit: bool = False
-    adapt_every: int = 0                     # proxy-order re-check period
+    adapt_every: int | None = None           # proxy-order re-check period
+    #                                          (None = auto: 64 in the frame
+    #                                          loop, off under --scan)
     autotune: bool = False                   # first-use block-size sweep
     m2l_dots: str = "fp32"                   # FMM M2L matmul tier
 
@@ -168,10 +170,13 @@ def build_parser() -> argparse.ArgumentParser:
                           "force err); bf16x3 = 3-pass splits (~20%% "
                           "faster, ~3e-4 err); mixed = fp32 near shell + "
                           "bf16x3 far shell.")
-    ext.add_argument("--adapt-every", dest="adapt_every", type=int, default=0,
+    ext.add_argument("--adapt-every", dest="adapt_every", type=int,
+                     default=None,
                      help="re-derive the proxy/fmm order from the current "
                           "box every K iterations and rebuild the step if "
-                          "the system outgrew it (0 = off; tpu+proxy only).")
+                          "the system outgrew it (tpu+proxy only; 0 = off; "
+                          "default: 64 in the frame loop, off under --scan "
+                          "where the post-run warning covers it).")
     ext.add_argument("--check-finite", dest="check_finite", action="store_true",
                      help="abort with a clear error if the state goes "
                           "NaN/Inf (fail-fast debug mode; adds a device "
