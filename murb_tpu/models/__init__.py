@@ -90,7 +90,7 @@ def _build_registry():
         lambda b, **kw: E.ProxyEngine(
             b, **_filter(kw, "m", "cells", "levels", "tol", "max_m",
                          "heavy_k", "box_margin", "adapt_every", "cost_slack",
-                         "m2l_dots")
+                         "m2l_dots", "block", "m2l_tile", "autotune")
         ),
         aliases=("fmm", "barnes-hut"),
     )

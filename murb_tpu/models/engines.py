@@ -281,7 +281,8 @@ class ProxyEngine(EulerAccelEngine):
                  cells: int = 0, levels: int = 0, tol: float = 1e-4,
                  max_m: int = 32, heavy_k: int = 1, box_margin: float = 1.5,
                  adapt_every: int = 0, cost_slack: float = 30.0,
-                 m2l_dots: str = "fp32", **kw):
+                 m2l_dots: str = "fp32", block: int = 0, m2l_tile: int = 0,
+                 autotune: bool | None = None, **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -298,6 +299,8 @@ class ProxyEngine(EulerAccelEngine):
         self.adapt_every = int(adapt_every)
         self.cost_slack = cost_slack
         self.m2l_dots = _check_m2l_dots(m2l_dots)
+        self.block = int(block)
+        self.m2l_tile = int(m2l_tile)
         self._auto = m == 0 and levels == 0
         if self._auto:
             self._configure()
@@ -308,6 +311,8 @@ class ProxyEngine(EulerAccelEngine):
             self.levels = int(levels)
             self.cells = int(cells or 1)
             self.using_proxy = self.m <= max_m
+        if not (block or m2l_tile):
+            self._resolve_fast_blocks(autotune)
 
     def _configure(self) -> None:
         """Derive (m, levels/cells, using_proxy) from the CURRENT box --
@@ -354,6 +359,68 @@ class ProxyEngine(EulerAccelEngine):
 
         return best_depth(self._state.npad, half, self.soft, self.tol)
 
+    @property
+    def _fast_tune_tag(self) -> str:
+        """Per-geometry tune key: the stage shapes depend on (m, levels),
+        not just npad."""
+        return f"{self.tag}/m{self.m}L{self.levels}c{self.cells}"
+
+    def _resolve_fast_blocks(self, autotune: bool | None) -> None:
+        """Measured stage geometry for the fast solver (round-2 VERDICT
+        item 8): the anterpolation block and (hierarchy only) the fused-M2L
+        row tile, swept with the same steady-state discipline as the exact
+        kernels' block autotuner and persisted per (tag, m, levels, npad,
+        backend).  Off-path configs (exact fallback, non-TPU) skip."""
+        from murb_tpu.utils import autotune as at
+
+        if not self.using_proxy:
+            return
+        if autotune is None:
+            autotune = at.enabled()
+        tuned = at.lookup(self._fast_tune_tag, self._state.npad)
+        if tuned is None and autotune:
+            import jax as _jax
+
+            if _jax.default_backend() != "tpu":
+                return  # the fused stages only exist on the TPU backend
+            tuned = self._run_fast_autotune()
+        if tuned:
+            self.block = int(tuned.get("block", 0))
+            self.m2l_tile = int(tuned.get("m2l_tile", 0))
+
+    def _fast_candidates(self) -> list[dict]:
+        npad = self._state.npad
+        if self.levels:
+            blocks = [b for b in (256, 512, 1024) if npad % b == 0]
+            return [{"block": b, "m2l_tile": t}
+                    for b in (blocks or [0]) for t in (128, 256)]
+        blocks = [b for b in (1024, 2048, 4096) if npad % b == 0]
+        return [{"block": b} for b in (blocks or [0])]
+
+    def _run_fast_autotune(self) -> dict:
+        from murb_tpu.utils import autotune as at
+
+        dt = self._dt
+
+        def make_run(params):
+            blk = params.get("block", 0)
+            tile = params.get("m2l_tile", 0)
+
+            def step1(_, st):
+                acc = self._acc_solver(st.qx, st.qy, st.qz, self._gm(st),
+                                       blk, tile)
+                return euler_update(st, acc, dt)
+
+            @partial(jax.jit, donate_argnums=0)
+            def run(st, n):
+                return jax.lax.fori_loop(0, n, step1, st)
+
+            return run
+
+        state0 = jax.tree.map(lambda a: jnp.array(a, copy=True), self._state)
+        return at.tune(self._fast_tune_tag, self._state.npad, make_run,
+                       state0)
+
     def maybe_adapt(self) -> bool:
         """Mid-run order adaptation: when the system expanded past the
         compiled order's validity (proxy_health not ok), re-derive the mode
@@ -367,6 +434,9 @@ class ProxyEngine(EulerAccelEngine):
         self._configure()
         if (self.m, self.levels, self.cells, self.using_proxy) == old:
             return False
+        # stage geometry is per-(m, levels); re-lookup (never sweep mid-run)
+        self.block = self.m2l_tile = 0
+        self._resolve_fast_blocks(autotune=False)
         self._step = None
         self._run_cache.clear()
         return True
@@ -390,7 +460,7 @@ class ProxyEngine(EulerAccelEngine):
             if done < n_iterations:
                 self.maybe_adapt()
 
-    def _acc_fn(self, qx, qy, qz, gm):
+    def _acc_solver(self, qx, qy, qz, gm, block: int, m2l_tile: int):
         if not self.using_proxy:
             # exact-kernel fallback (state already repadded for wide blocks)
             from murb_tpu.ops.hybrid import acc_hybrid
@@ -401,11 +471,16 @@ class ProxyEngine(EulerAccelEngine):
 
             return acc_fmm(qx, qy, qz, gm, self.soft, m=self.m,
                            levels=self.levels, heavy_k=self.heavy_k,
-                           m2l_dots=self.m2l_dots)
+                           m2l_dots=self.m2l_dots, block=block,
+                           m2l_tile=m2l_tile)
         from murb_tpu.ops.proxy import acc_proxy
 
         return acc_proxy(qx, qy, qz, gm, self.soft, m=self.m,
-                         heavy_k=self.heavy_k, cells=self.cells)
+                         heavy_k=self.heavy_k, cells=self.cells,
+                         block=block)
+
+    def _acc_fn(self, qx, qy, qz, gm):
+        return self._acc_solver(qx, qy, qz, gm, self.block, self.m2l_tile)
 
     def proxy_health(self) -> dict:
         """Is the design order still adequate for the CURRENT box?  The

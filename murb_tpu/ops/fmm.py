@@ -327,7 +327,7 @@ def m2l_level(w, hl, soft, *, m: int, C: int, subset: str = "expand",
 # --------------------------------------------------------- downward pass
 def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
                    with_phi: bool = False, fused: bool = False,
-                   m2l_dots: str = "fp32"):
+                   m2l_dots: str = "fp32", m2l_tile: int = 0):
     """Finest-level node force fields (fx, fy, fz[, phi]) via the full
     hierarchy: coarser expansions by M2M, per-level expand-minus-near M2L,
     fields interpolated down with L2L.  ``fused`` routes eligible level
@@ -367,6 +367,10 @@ def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
             from murb_tpu.ops.fmm_pallas import m2l_fused_tile
 
             tile = m2l_fused_tile(m, C, 4 if with_phi else 3)
+            if tile and m2l_tile:
+                # autotuned override within the eligibility envelope (the
+                # VMEM estimate only shrinks with a smaller tile)
+                tile = min(tile, m2l_tile)
             if tile:
                 return fused_sweep(w, hl, C, subset, tile)
         return m2l_level(w, hl, soft, m=m, C=C, subset=subset,
@@ -487,7 +491,7 @@ def fmm_order(halfwidth: float, soft: float, levels: int,
 
 
 def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
-               heavy_factor, m2l_dots, with_phi):
+               heavy_factor, m2l_dots, with_phi, block=0, m2l_tile=0):
     """Shared hierarchy pass behind acc_fmm / force_and_potential_fmm:
     bounding box, heavy split, anterpolation, level sweeps, and the exact
     heavy-body corrections -> (acc (n, 3), phi (n,) or None)."""
@@ -510,8 +514,13 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
     # keeps the force-only gate; the with_phi L2P holds a 4/3-wider field
     # matrix resident, so it gets the nf-aware cap and may fall back to
     # jnp independently.
-    block = fmm_fused_block(n, m, C)
-    block_l2p = fmm_fused_block(n, m, C, nf=4) if with_phi else block
+    blk = fmm_fused_block(n, m, C)
+    if blk and block:
+        blk = pick_block(n, min(block, blk * 4))
+    block_l2p = fmm_fused_block(n, m, C, nf=4) if with_phi else blk
+    if block_l2p and block:
+        block_l2p = pick_block(n, min(block, block_l2p * 4))
+    block = blk
     if block or block_l2p:
         from murb_tpu.ops.common import notify_fp32_compute
 
@@ -524,7 +533,7 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
         w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
     fields = fmm_field_grid(w, h, soft, m=m, levels=levels,
                             with_phi=with_phi, fused=True,
-                            m2l_dots=m2l_dots)
+                            m2l_dots=m2l_dots, m2l_tile=m2l_tile)
     if block_l2p:
         from murb_tpu.ops.fmm_pallas import l2p_grid_fused
 
@@ -554,11 +563,12 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
 @functools.partial(
     jax.jit,
     static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
-                     "m2l_dots"),
+                     "m2l_dots", "block", "m2l_tile"),
 )
 def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
             heavy_k: int = 1, heavy_factor: float = DEFAULT_HEAVY_FACTOR,
-            m2l_dots: str = "fp32") -> Accel:
+            m2l_dots: str = "fp32", block: int = 0,
+            m2l_tile: int = 0) -> Accel:
     """All-pairs softened-gravity accelerations via the L-level hierarchy.
 
     Same outer contract as ops/proxy.acc_proxy: heavy bodies are excluded
@@ -568,19 +578,21 @@ def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
     "mixed" = fp32 near shell + bf16x3 far shell)."""
     acc, _ = _fmm_solve(qx, qy, qz, gm, soft, m=m, levels=levels,
                         heavy_k=heavy_k, heavy_factor=heavy_factor,
-                        m2l_dots=m2l_dots, with_phi=False)
+                        m2l_dots=m2l_dots, with_phi=False, block=block,
+                        m2l_tile=m2l_tile)
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
-                     "m2l_dots"),
+                     "m2l_dots", "block", "m2l_tile"),
 )
 def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
                             levels: int = 2, heavy_k: int = 1,
                             heavy_factor: float = DEFAULT_HEAVY_FACTOR,
-                            m2l_dots: str = "fp32"):
+                            m2l_dots: str = "fp32", block: int = 0,
+                            m2l_tile: int = 0):
     """(Accel, phi): forces and potential in ONE hierarchy pass -- the
     multi-level counterpart of ops/proxy.force_and_potential_proxy, for
     tracking engines on boxes too wide for a single expansion.
@@ -594,5 +606,6 @@ def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
     shared with the force field."""
     acc, phi = _fmm_solve(qx, qy, qz, gm, soft, m=m, levels=levels,
                           heavy_k=heavy_k, heavy_factor=heavy_factor,
-                          m2l_dots=m2l_dots, with_phi=True)
+                          m2l_dots=m2l_dots, with_phi=True, block=block,
+                          m2l_tile=m2l_tile)
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2]), phi

@@ -281,10 +281,13 @@ def potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor")
+    jax.jit,
+    static_argnames=("soft", "m", "heavy_k", "heavy_factor", "block"),
 )
 def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
-                              heavy_k: int = 1, heavy_factor: float = DEFAULT_HEAVY_FACTOR):
+                              heavy_k: int = 1,
+                              heavy_factor: float = DEFAULT_HEAVY_FACTOR,
+                              block: int = 0):
     """(Accel, phi): forces and potential sweep in ONE proxy pass.
 
     Shares the bounding box, heavy split, interpolation bases, and P2M
@@ -308,7 +311,12 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
 
     from murb_tpu.ops.proxy_pallas import fused_block
 
-    block = fused_block(n, m)
+    blk = fused_block(n, m)
+    if blk and block:
+        from murb_tpu.ops.common import pick_block
+
+        blk = pick_block(n, min(block, blk * 4))
+    block = blk
     if block:
         from murb_tpu.ops.common import notify_fp32_compute
 
@@ -423,10 +431,13 @@ def heavy_target_phi(qx, qy, qz, gm, hq, soft):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("soft", "m", "heavy_k", "heavy_factor", "cells")
+    jax.jit,
+    static_argnames=("soft", "m", "heavy_k", "heavy_factor", "cells",
+                     "block"),
 )
 def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
-              heavy_factor: float = DEFAULT_HEAVY_FACTOR, cells: int = 1) -> Accel:
+              heavy_factor: float = DEFAULT_HEAVY_FACTOR, cells: int = 1,
+              block: int = 0) -> Accel:
     """All-pairs softened-gravity accelerations via the Chebyshev proxy.
 
     ``cells=2`` splits the domain into 2x2x2 octants with per-octant
@@ -450,7 +461,14 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
 
     from murb_tpu.ops.proxy_pallas import fused_block
 
-    block = fused_block(n, m) if cells == 1 else None
+    # ``block`` overrides the anterpolation block target within the fused
+    # path's eligibility (autotuned via ProxyEngine; 0 = policy default)
+    blk = fused_block(n, m) if cells == 1 else None
+    if blk and block:
+        from murb_tpu.ops.common import pick_block
+
+        blk = pick_block(n, min(block, blk * 4))
+    block = blk
     if block:
         from murb_tpu.ops.common import notify_fp32_compute
 

@@ -110,3 +110,37 @@ def test_hybrid_pass_counts_tune_separately(tune_cache):
     e1 = create_engine("tpu+hybrid", bodies, soft=SOFT, dt=DT)
     e2 = create_engine("tpu+hybrid+fast", bodies, soft=SOFT, dt=DT)
     assert e1._tune_tag != e2._tune_tag
+
+
+def test_proxy_engine_stage_block_wiring(tune_cache):
+    """The fast-solver stage tuner (round-2 VERDICT item 8): a persisted
+    (tag, m, levels, npad) entry is picked up with tuning off; explicit
+    block/m2l_tile always win; the solver stays correct with an override
+    (on CPU the fused path is ineligible, so the override is a no-op by
+    design -- eligibility still caps it on TPU)."""
+    bodies = SCHEMES["galaxy"](512, 3)
+    probe = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, m=16)
+    at.store(probe._fast_tune_tag, probe.bodies.npad,
+             {"block": 2048, "m2l_tile": 0}, 0.4)
+
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, m=16)
+    assert e.block == 2048
+
+    e2 = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, m=16,
+                       block=1024)
+    assert e2.block == 1024
+
+    ref = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT)
+    e.compute_one_iteration()
+    ref.compute_one_iteration()
+    a, b = ref.bodies.unpadded(), e.bodies.unpadded()
+    np.testing.assert_allclose(b["qx"], a["qx"], rtol=2e-3)
+
+
+def test_fmm_candidates_cover_tile_axis(tune_cache):
+    bodies = SCHEMES["random"](2048, 3)
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT, m=10, levels=2)
+    cands = e._fast_candidates()
+    assert all("m2l_tile" in c for c in cands)
+    assert {c["m2l_tile"] for c in cands} == {128, 256}
+    assert all(bodies.npad % c["block"] == 0 for c in cands if c["block"])
