@@ -66,12 +66,22 @@ def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,
     inv = jax.lax.rsqrt(d2)
     w32 = inv * inv * inv
 
+    # A_p arrives fp32 and is Dekker-split HERE, inside the kernel: an
+    # XLA-level split gets folded away by the algebraic simplifier's
+    # upcast-of-downcast elision (measured: lo rows silently zeroed, error
+    # back at ~4e-3 -- the same hazard CLAUDE.md documents for bf16x3
+    # dots in interpret mode).  Mosaic never folds in-kernel splits.
+    ap32 = ap[...].astype(jnp.float32)
+    ap_hi = ap32.astype(jnp.bfloat16)
+    ap_lo = (ap32 - ap_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ap16 = jnp.concatenate([ap_hi, ap_lo], axis=0)        # (16, BJ)
+
     def dot_p(w):
-        # A_p carries hi rows 0:8 and Dekker lo rows 8:16; M=16 costs the
-        # same as M=8 on the 128-row systolic array, so the hi+lo fold is
-        # one (8, BI) VPU add per pass.
+        # hi rows 0:8, Dekker lo rows 8:16; M=16 costs the same as M=8 on
+        # the 128-row systolic array, so the hi+lo fold is one (8, BI)
+        # VPU add per pass.
         p16 = jax.lax.dot_general(
-            ap[...], w,
+            ap16, w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
@@ -125,17 +135,12 @@ def acc_hybrid_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     soft2 = float(soft) ** 2
 
     zeros = jnp.zeros_like(gmj)
-    f32 = jnp.float32
-    a32 = jnp.stack([gmj * qxj, gmj * qyj, gmj * qzj, gmj,
-                     zeros, zeros, zeros, zeros]).astype(f32)
-    a_hi = a32.astype(jnp.bfloat16)
-    a_p = jnp.concatenate(
-        [a_hi, (a32 - a_hi.astype(f32)).astype(jnp.bfloat16)]
-    )  # (16, nj): bf16 hi rows + Dekker lo rows
+    a_p = jnp.stack([gmj * qxj, gmj * qyj, gmj * qzj, gmj,
+                     zeros, zeros, zeros, zeros]).astype(jnp.float32)
 
     jspec = pl.BlockSpec((bj, 1), lambda i, j: (j, 0))
     ispec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
-    aspec = pl.BlockSpec((16, bj), lambda i, j: (0, j))
+    aspec = pl.BlockSpec((8, bj), lambda i, j: (0, j))
     ospec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
 
     col = lambda a: a.reshape(-1, 1)
