@@ -567,6 +567,11 @@ class LeapfrogEngine(SimulationEngine):
             kwargs["soft"] = soft
         if dt is not None:
             kwargs["dt"] = dt
+        # Divisor-rich padding for the fast-solver block geometry (see
+        # TrackingEngine.__init__; the leapfrog phases run the same fused
+        # proxy/fmm kernels via fused_proxy_m / acc_fn).
+        if bodies.npad >= 8192:
+            bodies = bodies.repad(2048)
         super().__init__(bodies, **kwargs, **kw)
         self.num_iterations = int(num_iterations)
         self._acc = acc_fn
@@ -833,6 +838,13 @@ class TrackingEngine(EulerAccelEngine):
             kwargs["soft"] = soft
         if dt is not None:
             kwargs["dt"] = dt
+        # Divisor-rich padding, same rule as ProxyEngine: the fused
+        # anterpolation block is capped by the largest block dividing npad,
+        # and the default lane padding can be divisor-poor (N=200k pads to
+        # 200192 = 256*782 -> block 512 instead of 4096, measured 0.79 ->
+        # 1.20 ms/step: the whole round-2 "41% tracked overhead" was this).
+        if bodies.npad >= 8192:
+            bodies = bodies.repad(2048)
         super().__init__(bodies, **kwargs, **kw)
         self.history = history or SimulationHistory(num_iterations)
         if self.history.num_iterations < num_iterations:
@@ -983,9 +995,13 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
                          history=history, **kw)
         import jax.numpy as jnp
 
-        self.masks = [jnp.asarray(m) for m in masks]
-        for m in self.masks:
-            assert m.shape[0] == self._state.npad, (m.shape, self._state.npad)
+        npad = self._state.npad
+        masks = [jnp.asarray(m) for m in masks]
+        for m in masks:
+            assert m.shape[0] <= npad, (m.shape, npad)
+        # the ctor may have repadded the state (divisor-rich blocks); the
+        # ghost rows are zero-mass, so extending each mask with zeros is exact
+        self.masks = [jnp.pad(m, (0, npad - m.shape[0])) for m in masks]
 
     def _metrics(self, state):
         per_gal = [

@@ -261,3 +261,44 @@ def test_multi_galaxy_rejects_fused_paths():
         with pytest.raises(ValueError, match="fused_"):
             create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
                           num_iterations=2, masks=masks, **kw)
+
+
+def test_tracking_repad_invariance():
+    """The ctor repads large states to a divisor-rich boundary (the fused
+    anterpolation block is capped by the largest block dividing npad --
+    without this the tracked path ran block=512 instead of 4096 at N=200k,
+    the whole round-2 '41% tracked overhead').  Ghost rows are zero-mass,
+    so runs at different paddings must agree on physics and metrics."""
+    iters = 2
+    bodies = SCHEMES["galaxy"](8200, 5)
+    a = create_engine("tpu+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, fused_proxy_m=16)
+    assert a._state.npad % 2048 == 0 and a._state.npad > bodies.npad
+    b = create_engine("tpu+tracking", bodies.repad(4096), soft=SOFT, dt=DT,
+                      num_iterations=iters, fused_proxy_m=16)
+    assert b._state.npad != a._state.npad  # genuinely different paddings
+    a.run(iters)
+    b.run(iters)
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-6)
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    np.testing.assert_allclose(db["qx"], da["qx"], rtol=1e-6)
+    # fp32 summation order differs with the block partition; last-ulp noise
+    np.testing.assert_allclose(db["vx"], da["vx"], rtol=1e-5, atol=1e-3)
+
+
+def test_leapfrog_tracking_repad_invariance():
+    """Same padding-invariance property for the phase-split integrator."""
+    iters = 2
+    bodies = SCHEMES["galaxy"](8200, 6)
+    a = create_engine("tpu+leapfrog+tracking", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, fused_proxy_m=16)
+    assert a._state.npad % 2048 == 0 and a._state.npad > bodies.npad
+    b = create_engine("tpu+leapfrog+tracking", bodies.repad(4096), soft=SOFT,
+                      dt=DT, num_iterations=iters, fused_proxy_m=16)
+    a.run(iters)
+    b.run(iters)
+    np.testing.assert_allclose(b.history.energies, a.history.energies,
+                               rtol=1e-6)
+    np.testing.assert_allclose(b.bodies.unpadded()["qx"],
+                               a.bodies.unpadded()["qx"], rtol=1e-6)

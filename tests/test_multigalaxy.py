@@ -95,3 +95,21 @@ def test_multigalaxy_proxy_metrics_plumbed():
     for g in range(2):
         np.testing.assert_allclose(b.history.galaxies[g].energies,
                                    a.history.galaxies[g].energies, rtol=1e-3)
+
+
+def test_multigalaxy_masks_survive_ctor_repad():
+    """Masks are built at the caller's npad; the tracking ctor may repad the
+    state to a divisor-rich boundary.  The zero-extended masks must keep the
+    per-galaxy aggregation exact."""
+    bodies = SCHEMES["galaxy"](8200, 7)
+    masks = _half_masks(bodies.npad, bodies.n)
+    e = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=2, masks=masks,
+                      metrics_method="proxy", metrics_proxy_m=16)
+    assert e._state.npad % 2048 == 0 and e._state.npad > bodies.npad
+    assert all(m.shape[0] == e._state.npad for m in e.masks)
+    e.run(2)
+    hist = e.finalize_history()
+    total = hist.galaxies[0].energies + hist.galaxies[1].energies
+    np.testing.assert_allclose(hist.energies, total, rtol=1e-12)
+    assert np.all(np.isfinite(hist.energies))
