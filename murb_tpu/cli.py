@@ -88,7 +88,10 @@ def build_engine(cfg: MurbConfig):
         from murb_tpu.ops.proxy import half_extent, required_order
 
         half = half_extent(bodies.unpadded())
-        proxy_m = (required_order(half * 1.5, cfg.softening) + 3) // 4 * 4
+        # margin=0 on top of the 1.5x growth factor: measured-calibration
+        # rationale in ProxyEngine._configure
+        proxy_m = (required_order(half * 1.5, cfg.softening, cfg.tol,
+                                  margin=0) + 3) // 4 * 4
         if proxy_m > 32:
             print(f"NOTE: box too large for the single-level proxy "
                   f"(needs m={proxy_m} > 32); using the multi-level fmm "
@@ -101,7 +104,36 @@ def build_engine(cfg: MurbConfig):
 
         half = half_extent(bodies.unpadded())
         fmm_levels = required_levels(half, cfg.softening)
-        proxy_m = fmm_order(half, cfg.softening, fmm_levels)
+        proxy_m = fmm_order(half, cfg.softening, fmm_levels, cfg.tol)
+    if kernel in ("proxy", "fmm"):
+        # Measured-order selection (ops/validate): the static pick is a
+        # calibrated guess whose prefactor is distribution-dependent;
+        # measure it against an exact strided sample and escalate until
+        # the --tol contract holds (same loop as ProxyEngine).
+        import jax.numpy as _jnp
+
+        from murb_tpu import G as _G
+        from murb_tpu.ops.validate import validate_config
+
+        def _make_acc(m, levels, cells):
+            def acc(qx, qy, qz, g):
+                if levels:
+                    from murb_tpu.ops.fmm import acc_fmm
+
+                    return acc_fmm(qx, qy, qz, g, cfg.softening, m=m,
+                                   levels=levels, m2l_dots=cfg.m2l_dots)
+                from murb_tpu.ops.proxy import acc_proxy
+
+                return acc_proxy(qx, qy, qz, g, cfg.softening, m=m,
+                                 cells=cells)
+
+            return acc
+
+        gmv = _jnp.asarray(_G, bodies.qx.dtype) * bodies.m
+        proxy_m, fmm_levels, _, _err = validate_config(
+            bodies.qx, bodies.qy, bodies.qz, gmv, cfg.softening, cfg.tol,
+            proxy_m, fmm_levels, 1, half, _make_acc)
+        kernel = "fmm" if fmm_levels else "proxy"
     if canonical == "tpu+tracking" and kernel == "proxy":
         extra["fused_proxy_m"] = proxy_m  # fused force+potential proxy step
     elif canonical == "tpu+tracking" and kernel == "fmm":
@@ -131,7 +163,7 @@ def build_engine(cfg: MurbConfig):
         chunk=cfg.chunk, block_i=cfg.block_i, block_j=cfg.block_j,
         shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
         adapt_every=adapt_every,
-        m2l_dots=cfg.m2l_dots,
+        m2l_dots=cfg.m2l_dots, tol=cfg.tol,
         autotune=True if cfg.autotune else None,
         **extra,
     )

@@ -90,7 +90,8 @@ def _build_registry():
         lambda b, **kw: E.ProxyEngine(
             b, **_filter(kw, "m", "cells", "levels", "tol", "max_m",
                          "heavy_k", "box_margin", "adapt_every", "cost_slack",
-                         "m2l_dots", "block", "m2l_tile", "autotune")
+                         "m2l_dots", "block", "m2l_tile", "autotune",
+                         "validate")
         ),
         aliases=("fmm", "barnes-hut"),
     )
@@ -150,7 +151,8 @@ def _build_registry():
             return ShardedEngine(
                 b, mode=mode,
                 **_filter(kw, "shards", "gpu_fraction", "block_i", "block_j",
-                          "ring_impl", "kernel", "m", "levels", "m2l_dots"),
+                          "ring_impl", "kernel", "m", "levels", "m2l_dots",
+                          "validate"),
             )
 
         return factory

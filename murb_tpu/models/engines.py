@@ -282,7 +282,8 @@ class ProxyEngine(EulerAccelEngine):
                  max_m: int = 32, heavy_k: int = 1, box_margin: float = 1.5,
                  adapt_every: int = 0, cost_slack: float = 30.0,
                  m2l_dots: str = "fp32", block: int = 0, m2l_tile: int = 0,
-                 autotune: bool | None = None, **kw):
+                 autotune: bool | None = None, validate: bool = True,
+                 **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -301,6 +302,8 @@ class ProxyEngine(EulerAccelEngine):
         self.m2l_dots = _check_m2l_dots(m2l_dots)
         self.block = int(block)
         self.m2l_tile = int(m2l_tile)
+        self.validate = bool(validate)
+        self.validated_err: float | None = None
         self._auto = m == 0 and levels == 0
         if self._auto:
             self._configure()
@@ -323,9 +326,15 @@ class ProxyEngine(EulerAccelEngine):
         half = half_extent(self._state.unpadded())
         # Prefer a single global expansion (box-growth margin applied);
         # larger boxes go to the multi-level hierarchy, whose finest
-        # cells restore a ~ 1 at any scale.
+        # cells restore a ~ 1 at any scale.  margin=0: the box_margin
+        # factor already pads for growth, and the +2 default on top of it
+        # was measured pure waste -- at the N=200k galaxy the double
+        # margin picks m=20 while m=16 (this policy) and even m=14 sit at
+        # the fp32 error floor of 1.7e-5 (scripts/order_error_probe.py);
+        # round4 keeps the pick lane-aligned (m=16 = 4096 nodes is also
+        # the fastest measured block geometry).
         m1 = round4(required_order(half * self.box_margin, self.soft,
-                                   self.tol))
+                                   self.tol, margin=0))
         if m1 <= 20:
             m, levels, cells = m1, 0, 1
         else:
@@ -334,13 +343,18 @@ class ProxyEngine(EulerAccelEngine):
         self.m = int(m)
         self.levels = int(levels)
         self.cells = int(cells)
+        self._apply_cost_model()
+        if self.using_proxy and self.validate:
+            self._validate_order(half)
+
+    def _apply_cost_model(self) -> None:
+        # Cost model: the proxy must not be drastically costlier than
+        # the exact sweep (at small N the node work dominates).  Rough
+        # op counts; the generous slack keeps the reference's small
+        # differential cases (N=2048 galaxy, ~17x) on the proxy path
+        # while rejecting pathological ones (small-N multi-cell modes).
         self.using_proxy = self.m <= self.max_m
         if self.using_proxy:
-            # Cost model: the proxy must not be drastically costlier than
-            # the exact sweep (at small N the node work dominates).  Rough
-            # op counts; the generous slack keeps the reference's small
-            # differential cases (N=2048 galaxy, ~17x) on the proxy path
-            # while rejecting pathological ones (small-N multi-cell modes).
             n = self._state.npad
             if self.levels:
                 cgrid = 8 ** self.levels
@@ -351,6 +365,43 @@ class ProxyEngine(EulerAccelEngine):
             est_direct = 14 * n * n
             if est > self.cost_slack * est_direct:
                 self.using_proxy = False
+
+    def _validate_order(self, half: float) -> None:
+        """Measured-order selection (ops/validate): the static pick is a
+        calibrated GUESS -- its error prefactor is distribution-dependent
+        (concentrated two-cluster boxes measure 30x over the uncalibrated
+        bound, scripts/order_calib_probe3.py) -- so measure the configured
+        solver against an exact strided sample and escalate until the tol
+        contract is met.  On the happy path this is one dispatch of the
+        same executable the run needs anyway; only distributions that
+        genuinely need a higher order pay for extra trials."""
+        from murb_tpu.ops.validate import validate_config
+
+        st = self._state
+        gm = self._gm(st)
+
+        def make_acc(m, levels, cells):
+            def acc(qx, qy, qz, g):
+                if levels:
+                    from murb_tpu.ops.fmm import acc_fmm
+
+                    return acc_fmm(qx, qy, qz, g, self.soft, m=m,
+                                   levels=levels, heavy_k=self.heavy_k,
+                                   m2l_dots=self.m2l_dots)
+                from murb_tpu.ops.proxy import acc_proxy
+
+                return acc_proxy(qx, qy, qz, g, self.soft, m=m,
+                                 heavy_k=self.heavy_k, cells=cells)
+
+            return acc
+
+        m, levels, cells, err = validate_config(
+            st.qx, st.qy, st.qz, gm, self.soft, self.tol,
+            self.m, self.levels, self.cells, half, make_acc)
+        self.validated_err = err
+        if (m, levels, cells) != (self.m, self.levels, self.cells):
+            self.m, self.levels, self.cells = int(m), int(levels), int(cells)
+            self._apply_cost_model()
 
     def _best_depth(self, half: float) -> tuple[int, int]:
         """(m, levels) from the shared depth-cost policy (ops/fmm.best_depth:

@@ -477,17 +477,35 @@ def best_depth(n: int, halfwidth: float, soft: float,
     return best[1], best[2]
 
 
+#: Measured error prefactor of the hierarchical solver, with 3x safety.
+#: required_order's bound assumes err ~ rho^-m (prefactor 1).  Measured
+#: on-chip (scripts/order_error_probe.py, order_calib_probe2/3.py), the
+#: hierarchy's actual prefactor is ~0.1 at N=200k and ~0.3 worst-case at
+#: N=8k, uniform AND concentrated two-cluster wide boxes alike -- the
+#: expand/near telescoping evaluates every pair at the finest level where
+#: the analyticity ratio is restored, and the 343-offset accumulation
+#: averages interpolation error.  0.3 keeps the worst measured case
+#: exactly on its bound: at the N=200k random box (half/soft=3.3, L=2)
+#: the bound alone demands m=10 (11.4 ms/step) while m=8 (5.5 ms) already
+#: sits at the fp32 error floor (2.2e-5 vs m=10's 1.7e-5); at N=8192 the
+#: same m=8 measures 8.2e-5 = the calibrated prediction for tol=1e-4.
+FMM_ERR_PREFACTOR = 0.3
+
+
 def fmm_order(halfwidth: float, soft: float, levels: int,
               tol: float = 1e-4) -> int:
     """Chebyshev order for the hierarchical solver: the binding constraint
     is the same-cell interpolation at the finest level (separated pairs at
     any level converge with rho >= 2 + sqrt(5), always faster).
 
-    margin=0 (vs the single-level default of 2): the measured error sits
-    ~1.5 orders below the bound (tests/test_fmm.py), m^6 terms dominate the
-    M2L cost, and box growth is caught by proxy_health / the adaptive
-    rebuild rather than a permanently padded order."""
-    return required_order(halfwidth / 2 ** levels, soft, tol, margin=0)
+    Calibrated (see FMM_ERR_PREFACTOR): m solves
+    FMM_ERR_PREFACTOR * rho^-m <= tol, i.e. the theoretical bound with the
+    measured prefactor instead of 1; margin=0 (vs the single-level default
+    of 2) because m^6 terms dominate the M2L cost and box growth is caught
+    by proxy_health / the adaptive rebuild rather than a permanently
+    padded order."""
+    return required_order(halfwidth / 2 ** levels, soft,
+                          tol / FMM_ERR_PREFACTOR, margin=0)
 
 
 def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,

@@ -1,0 +1,138 @@
+"""Measured-order selection: make the fast solvers' accuracy contract
+real instead of theoretical.
+
+The Chebyshev order bound (ops/proxy.required_order) assumes an error
+prefactor of 1; the measured prefactor is ~0.1-0.3 for uniform boxes
+(ops/fmm.FMM_ERR_PREFACTOR) but blows past 1000 for adversarial mass
+distributions -- two dense clusters in a wide box measure 3e-3 max
+relative force error at the order the UNcalibrated bound certifies for
+1e-4 (scripts/order_calib_probe3.py).  No static formula is robust to
+the distribution, so the engines validate instead: take the calibrated
+pick as the initial guess, measure the true error of the configured
+solver against an exact strided-sample sweep (one cheap O(sample x N)
+rectangle), and escalate order/depth until the target is met.
+
+The common schemes pass on the first try, so the only extra work on the
+happy path is one solver dispatch + the sample sweep (the solver compile
+is the same executable the run needs anyway).  Escalation -- and its
+extra compiles -- is paid only by distributions that genuinely need it,
+which is exactly the honest trade.
+
+The reference has no counterpart: its Barnes-Hut file is an empty TODO
+(ref: src/murb/implem/SimulationNBodyBarnesHut.* absent) and its accuracy
+checking lives in offline Catch2 tolerances (ref:
+tests/test_SimulationNBody.cpp), not in the production path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["measured_force_error", "escalate_config", "validate_config"]
+
+#: error statistic floor: per-body relative error with tiny-force bodies
+#: floored at 1e-6 of the system's max force norm -- the same convention
+#: as bench.py's force_error and the order probes.
+FLOOR_FRAC = 1e-6
+
+#: escalation bounds: hierarchy order grows to 12 (the m^6 M2L cost wall,
+#: measured 25 ms/step at m=12 N=200k) before trading order for depth.
+_MAX_HIER_M = 12
+_MAX_LEVELS = 4
+_MAX_TRIALS = 6
+
+
+def measured_force_error(qx, qy, qz, gm, soft, acc_fn,
+                         sample: int = 512) -> float:
+    """Max net-relative force error of ``acc_fn`` on a strided sample.
+
+    ``acc_fn(qx, qy, qz, gm) -> Accel`` is the configured fast solver
+    (heavy corrections and all); the reference values are one exact
+    rectangular sweep over ``sample`` strided massive rows (row 0
+    included: the schemes' heavy central body).  Ghost-padded rows
+    (gm == 0) are excluded from the statistic.  Cost: one solver
+    dispatch + O(sample * N) exact work.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from murb_tpu.ops.naive import acc_rect
+
+    n = int(qx.shape[0])
+    k = min(int(sample), n)
+    idx = jnp.asarray(np.linspace(0, n - 1, k).astype(np.int64))
+
+    a = acc_fn(qx, qy, qz, gm)
+    ax, ay, az = (np.asarray(v)[np.asarray(idx)]
+                  for v in (a.ax, a.ay, a.az))
+
+    # the exact reference sweep runs in float64 where the platform allows
+    # (CPU with x64 enabled): a same-precision reference shares the
+    # solver's fp32 rounding noise and under-reports the true error
+    rq = (qx, qy, qz, gm)
+    if jax.config.jax_enable_x64 and jax.default_backend() != "tpu":
+        rq = tuple(v.astype(jnp.float64) for v in rq)
+    r = acc_rect(rq[0][idx], rq[1][idx], rq[2][idx], *rq, soft)
+    rx, ry, rz = (np.asarray(v) for v in (r.ax, r.ay, r.az))
+    rn = np.sqrt(rx * rx + ry * ry + rz * rz)
+    sel = np.asarray(gm[idx]) > 0
+    if not np.any(sel):
+        return 0.0
+    floor = np.maximum(rn, max(float(rn[sel].max()), 1e-300) * FLOOR_FRAC)
+    err = np.sqrt((ax - rx) ** 2 + (ay - ry) ** 2 + (az - rz) ** 2) / floor
+    return float(err[sel].max())
+
+
+def escalate_config(m: int, levels: int, cells: int, half: float,
+                    soft: float, tol: float) -> tuple[int, int, int]:
+    """One escalation step: the next (m, levels, cells) to try when the
+    measured error missed ``tol``.
+
+    Ladder: single-cell/octant grows by 4 orders (lane-aligned picks)
+    until the hierarchy switchover at m > 20; the hierarchy grows by 2
+    orders to the m^6 cost wall at m = 12, then trades order for depth
+    (one level deeper resolves concentrated mass into smaller cells --
+    the physical fix for clustered distributions -- and restarts from
+    that depth's calibrated order, floored above the failing order's
+    progression).
+    """
+    from murb_tpu.ops.fmm import fmm_order, required_levels
+
+    if levels == 0:
+        if m + 4 <= 20:
+            return m + 4, 0, cells
+        lv = max(required_levels(half, soft), 2)
+        return fmm_order(half, soft, lv, tol), lv, 1
+    if m + 2 <= _MAX_HIER_M:
+        return m + 2, levels, 1
+    lv = min(levels + 1, _MAX_LEVELS)
+    if lv == levels:                       # depth exhausted: keep growing m
+        return m + 2, levels, 1
+    return max(fmm_order(half, soft, lv, tol), 6), lv, 1
+
+
+def validate_config(qx, qy, qz, gm, soft, tol, m: int, levels: int,
+                    cells: int, half: float, make_acc_fn,
+                    sample: int = 512, max_trials: int = _MAX_TRIALS,
+                    warn=print):
+    """Escalate (m, levels, cells) until the measured error meets ``tol``.
+
+    ``make_acc_fn(m, levels, cells) -> acc_fn`` builds the solver for a
+    trial config.  Returns ``(m, levels, cells, measured_err)`` -- the
+    first config meeting tol, or (with a warning) the best one tried.
+    """
+    best = None
+    for _ in range(max_trials):
+        err = measured_force_error(qx, qy, qz, gm, soft,
+                                   make_acc_fn(m, levels, cells),
+                                   sample=sample)
+        if best is None or err < best[3]:
+            best = (m, levels, cells, err)
+        if err <= tol:
+            return m, levels, cells, err
+        m, levels, cells = escalate_config(m, levels, cells, half, soft,
+                                           tol)
+    warn(f"WARNING: fast-solver validation missed tol={tol:.1e} after "
+         f"{max_trials} escalations; keeping the best config "
+         f"m={best[0]} levels={best[1]} cells={best[2]} "
+         f"(measured err {best[3]:.1e})")
+    return best

@@ -111,7 +111,7 @@ class ShardedEngine(SimulationEngine):
                  gpu_fraction: float | None = None, min_n: int | None = None,
                  kernel: str = "auto", block_i: int = 0, block_j: int = 0,
                  ring_impl: str = "auto", m: int = 0, levels: int = 0,
-                 m2l_dots: str = "fp32", **kw):
+                 m2l_dots: str = "fp32", validate: bool = True, **kw):
         import os
 
         kwargs = {}
@@ -139,6 +139,7 @@ class ShardedEngine(SimulationEngine):
             shards = 1
 
         self.m2l_dots = m2l_dots
+        self.validated_err: float | None = None
         if mode in ("proxy", "fmm"):
             # Pick the solver geometry from the initial box, same policy
             # ladder as the single-chip ProxyEngine: a single global
@@ -151,7 +152,11 @@ class ShardedEngine(SimulationEngine):
             half = half_extent(bodies.unpadded())
             soft_val = kwargs.get("soft", DEFAULT_SOFTENING)
             if mode == "proxy":
-                m_auto = required_order(half * 1.5, soft_val, 1e-4)
+                # margin=0: the 1.5x box factor already pads for growth
+                # (same measured-calibration rationale as
+                # ProxyEngine._configure)
+                m_auto = required_order(half * 1.5, soft_val, 1e-4,
+                                        margin=0)
                 m_auto = (m_auto + 3) // 4 * 4
                 if m_auto > 24:
                     mode = "fmm"
@@ -168,6 +173,43 @@ class ShardedEngine(SimulationEngine):
                         bodies.npad, half, soft_val
                     )
                 self.proxy_heavy_k = 1
+            if validate and not m:
+                # Measured-order selection (ops/validate), same contract
+                # as the single-chip ProxyEngine: the static pick's error
+                # prefactor is distribution-dependent, so measure the
+                # solver single-device against an exact strided sample
+                # before compiling it into the sharded step, escalating
+                # (and switching proxy -> fmm) as needed.
+                from murb_tpu.ops.validate import validate_config
+
+                gmv = jnp.asarray(G, bodies.qx.dtype) * bodies.m
+
+                def _make_acc(mm, lv, cc):
+                    def acc(qx, qy, qz, g):
+                        if lv:
+                            from murb_tpu.ops.fmm import acc_fmm
+
+                            return acc_fmm(qx, qy, qz, g, soft_val, m=mm,
+                                           levels=lv,
+                                           m2l_dots=self.m2l_dots)
+                        from murb_tpu.ops.proxy import acc_proxy
+
+                        return acc_proxy(qx, qy, qz, g, soft_val, m=mm,
+                                         cells=cc)
+
+                    return acc
+
+                init_m = self.fmm_m if mode == "fmm" else self.proxy_m
+                init_lv = self.fmm_levels if mode == "fmm" else 0
+                mv, lvv, _, err = validate_config(
+                    bodies.qx, bodies.qy, bodies.qz, gmv, soft_val, 1e-4,
+                    init_m, init_lv, 1, half, _make_acc)
+                self.validated_err = err
+                if lvv:
+                    mode = "fmm"
+                    self.fmm_m, self.fmm_levels = int(mv), int(lvv)
+                else:
+                    self.proxy_m = int(mv)
 
         self.mesh = make_mesh(shards)
         self.n_shards = self.mesh.devices.size

@@ -61,6 +61,7 @@ class MurbConfig:
     #                                          loop, off under --scan)
     autotune: bool = False                   # first-use block-size sweep
     m2l_dots: str = "fp32"                   # FMM M2L matmul tier
+    tol: float = 1e-4                        # fast-solver force-error target
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -162,6 +163,14 @@ def build_parser() -> argparse.ArgumentParser:
                      help="sweep Pallas block sizes on first use of this "
                           "(kernel, N) and persist the winner beside the "
                           "compile cache (also via MURB_AUTOTUNE=1).")
+    ext.add_argument("--tol", dest="tol", type=float, default=1e-4,
+                     help="fast-solver relative force-error target: the "
+                          "proxy/fmm Chebyshev order is the smallest "
+                          "meeting it under the measured-calibrated "
+                          "error model (tpu+proxy and the proxy/fmm "
+                          "tracking kernels; default 1e-4 -- an order "
+                          "tighter than the reference's 1e-3 test "
+                          "tolerance).")
     ext.add_argument("--m2l-dots", dest="m2l_dots", default="fp32",
                      choices=("fp32", "mixed", "bf16x3"),
                      help="FMM level-sweep matmul tier (tpu+proxy "

@@ -331,7 +331,10 @@ def test_proxy_engine_auto_selects_fmm_for_random_at_scale():
     auto-selects the hierarchical mode (no exact fallback).  Construction
     only -- the N=200k step itself is benchmarked on hardware."""
     bodies = SCHEMES["random"](200_000, 1)
-    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    # validate=False: this tests the STATIC policy pick; measured-order
+    # validation would run a full 200k solve on the CPU backend
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT,
+                      validate=False)
     assert e.levels >= 2
     assert e.using_proxy
 
@@ -346,7 +349,8 @@ def test_proxy_engine_depth_cost_tradeoff():
     from murb_tpu.ops.fmm import required_levels
 
     bodies = SCHEMES["random"](200_000, 1)
-    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT,
+                      validate=False)
     from murb_tpu.ops.proxy import half_extent
 
     half = half_extent(bodies.unpadded())
