@@ -134,10 +134,13 @@ def build_engine(cfg: MurbConfig):
             bodies.qx, bodies.qy, bodies.qz, gmv, cfg.softening, cfg.tol,
             proxy_m, fmm_levels, 1, half, _make_acc)
         kernel = "fmm" if fmm_levels else "proxy"
-    if canonical == "tpu+tracking" and kernel == "proxy":
+    _fusible = ("tpu+tracking", "tpu+leapfrog+tracking")
+    if canonical in _fusible and kernel == "proxy":
         extra["fused_proxy_m"] = proxy_m  # fused force+potential proxy step
-    elif canonical == "tpu+tracking" and kernel == "fmm":
+        extra["validated_half"] = half    # measured-contract health basis
+    elif canonical in _fusible and kernel == "fmm":
         extra["fused_fmm"] = (proxy_m, fmm_levels)  # fused hierarchy step
+        extra["validated_half"] = half
     elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
                        "tpu+leapfrog+tracking", "tpu+kdk"):
         from murb_tpu.ops import make_acc_fn

@@ -110,7 +110,7 @@ def _build_registry():
     register(
         "tpu+tracking",
         lambda b, **kw: E.TrackingEngine(
-            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm", "m2l_dots")
+            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm", "m2l_dots", "validated_half")
         ),
         aliases=("gpu+tracking",),
     )
@@ -133,7 +133,8 @@ def _build_registry():
         lambda b, **kw: E.LeapfrogTrackingEngine(
             b, **_filter(kw, "num_iterations", "history", "acc_fn",
                          "metric_dtype", "metrics_method", "metrics_proxy_m",
-                         "fused_proxy_m", "fused_fmm", "m2l_dots")
+                         "fused_proxy_m", "fused_fmm", "m2l_dots",
+                         "validated_half")
         ),
         aliases=("gpu+leapfrog+tracking",),
     )

@@ -69,9 +69,16 @@ def _phi_metrics(state, phi, soft, out_dtype):
     )
 
 
-def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm) -> dict | None:
+def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm,
+                        validated_half=None,
+                        box_margin: float = 1.5) -> dict | None:
     """Validity check for a tracking engine's fused far-field path (same
-    contract as ProxyEngine.proxy_health); None when using neither."""
+    contract as ProxyEngine.proxy_health); None when using neither.
+
+    ``validated_half``: when the order came from measured validation
+    (ops/validate via the CLI), the config is certified for boxes up to
+    ``box_margin * validated_half`` instead of the static bound (descent
+    deliberately sits below it)."""
     if not (fused_proxy_m or fused_fmm):
         return None
     from murb_tpu.ops.proxy import half_extent, required_order
@@ -82,21 +89,20 @@ def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm) -> dict | None:
 
         m, levels = fused_fmm
         needed = fmm_order(half, soft, levels)
-        return {
-            "using_proxy": True,
-            "m": m,
-            "cells": 1,
-            "levels": levels,
-            "required_m_now": needed,
-            "ok": needed <= m,
-        }
-    needed = required_order(half, soft)
+    else:
+        m, levels = fused_proxy_m, 0
+        needed = required_order(half, soft)
+    if validated_half is not None:
+        ok = half <= box_margin * validated_half
+    else:
+        ok = needed <= m
     return {
         "using_proxy": True,
-        "m": fused_proxy_m,
+        "m": m,
         "cells": 1,
+        "levels": levels,
         "required_m_now": needed,
-        "ok": needed <= fused_proxy_m,
+        "ok": ok,
     }
 
 
@@ -304,6 +310,7 @@ class ProxyEngine(EulerAccelEngine):
         self.m2l_tile = int(m2l_tile)
         self.validate = bool(validate)
         self.validated_err: float | None = None
+        self.validated_half: float | None = None
         self._auto = m == 0 and levels == 0
         if self._auto:
             self._configure()
@@ -399,6 +406,7 @@ class ProxyEngine(EulerAccelEngine):
             st.qx, st.qy, st.qz, gm, self.soft, self.tol,
             self.m, self.levels, self.cells, half, make_acc)
         self.validated_err = err
+        self.validated_half = float(half)
         if (m, levels, cells) != (self.m, self.levels, self.cells):
             self.m, self.levels, self.cells = int(m), int(levels), int(cells)
             self._apply_cost_model()
@@ -545,13 +553,22 @@ class ProxyEngine(EulerAccelEngine):
             needed = fmm_order(half, self.soft, self.levels)
         else:
             needed = required_order(half / self.cells, self.soft)
+        if self.validated_half is not None:
+            # Measured contract (ops/validate): the config was validated
+            # against an exact sample at validated_half and is certified
+            # for boxes up to the growth margin it was picked with -- the
+            # static bound no longer applies (descent deliberately sits
+            # below it).  Past the margin, maybe_adapt re-validates.
+            ok = half <= self.box_margin * self.validated_half
+        else:
+            ok = needed <= self.m
         return {
             "using_proxy": self.using_proxy,
             "m": self.m,
             "cells": self.cells,
             "levels": self.levels,
             "required_m_now": needed,
-            "ok": (not self.using_proxy) or needed <= self.m,
+            "ok": (not self.using_proxy) or ok,
         }
 
 
@@ -727,7 +744,8 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=jnp.float32, metrics_method: str = "exact",
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
-                 fused_fmm: tuple = (), m2l_dots: str = "fp32", **kw):
+                 fused_fmm: tuple = (), m2l_dots: str = "fp32",
+                 validated_half: float | None = None, **kw):
         super().__init__(bodies, soft, dt, num_iterations=num_iterations,
                          acc_fn=acc_fn, **kw)
         self.history = history or SimulationHistory(num_iterations)
@@ -741,6 +759,7 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         self._fused_proxy_m = fused_proxy_m
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
         self._m2l_dots = _check_m2l_dots(m2l_dots)
+        self._validated_half = validated_half
 
     def _metrics(self, state):
         return metrics_mod.all_metrics(
@@ -768,7 +787,8 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         """Validity check for the fused far-field path (same contract as
         ProxyEngine.proxy_health); None when using neither."""
         return _fused_proxy_health(self._state, self.soft,
-                                   self._fused_proxy_m, self._fused_fmm)
+                                   self._fused_proxy_m, self._fused_fmm,
+                                   self._validated_half)
 
     def _build_phase_steps(self):
         dt = self._dt
@@ -883,7 +903,8 @@ class TrackingEngine(EulerAccelEngine):
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=jnp.float32, metrics_method: str = "exact",
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
-                 fused_fmm: tuple = (), m2l_dots: str = "fp32", **kw):
+                 fused_fmm: tuple = (), m2l_dots: str = "fp32",
+                 validated_half: float | None = None, **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -909,6 +930,7 @@ class TrackingEngine(EulerAccelEngine):
             raise ValueError("fused_proxy_m and fused_fmm are exclusive")
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
         self._m2l_dots = _check_m2l_dots(m2l_dots)
+        self._validated_half = validated_half
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):
@@ -949,7 +971,8 @@ class TrackingEngine(EulerAccelEngine):
         """Validity check for the fused proxy/fmm path (same contract as
         ProxyEngine.proxy_health); None when using neither."""
         return _fused_proxy_health(self._state, self.soft,
-                                   self._fused_proxy_m, self._fused_fmm)
+                                   self._fused_proxy_m, self._fused_fmm,
+                                   self._validated_half)
 
     def compute_one_iteration(self):
         if self._tracked_step is None:

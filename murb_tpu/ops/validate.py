@@ -27,7 +27,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["measured_force_error", "escalate_config", "validate_config"]
+__all__ = ["measured_force_error", "escalate_config", "descend_config",
+           "validate_config"]
 
 #: error statistic floor: per-body relative error with tiny-force bodies
 #: floored at 1e-6 of the system's max force norm -- the same convention
@@ -110,24 +111,64 @@ def escalate_config(m: int, levels: int, cells: int, half: float,
     return max(fmm_order(half, soft, lv, tol), 6), lv, 1
 
 
+#: descent floors: the cheapest configs worth measuring.  Single-cell m=8
+#: is the smallest lane-friendly basis (512 nodes) that ever meets 1e-4 on
+#: the production boxes; the hierarchy's finest cells restore a ~ 1, where
+#: m=6 is the smallest order the depth-cost policy ever emits.
+_MIN_CELL_M = 8
+_MIN_HIER_M = 6
+
+
+def descend_config(m: int, levels: int,
+                   cells: int) -> tuple[int, int, int] | None:
+    """One descent step: the next CHEAPER (m, levels, cells) to try when
+    the measured error beat ``tol`` with room to spare, or None at the
+    floor.  Mirrors escalate_config's rungs (single-cell/octant by 4
+    lane-aligned orders, hierarchy by 2) without changing depth -- the
+    depth pick is the cost model's job, not the accuracy contract's."""
+    if levels == 0:
+        return (m - 4, 0, cells) if m - 4 >= _MIN_CELL_M else None
+    return (m - 2, levels, 1) if m - 2 >= _MIN_HIER_M else None
+
+
 def validate_config(qx, qy, qz, gm, soft, tol, m: int, levels: int,
                     cells: int, half: float, make_acc_fn,
                     sample: int = 512, max_trials: int = _MAX_TRIALS,
-                    warn=print):
-    """Escalate (m, levels, cells) until the measured error meets ``tol``.
+                    descend: bool = True, warn=print):
+    """Escalate (m, levels, cells) until the measured error meets ``tol``
+    -- then, if the INITIAL pick already met it, descend while cheaper
+    configs still do.
 
     ``make_acc_fn(m, levels, cells) -> acc_fn`` builds the solver for a
     trial config.  Returns ``(m, levels, cells, measured_err)`` -- the
-    first config meeting tol, or (with a warning) the best one tried.
+    cheapest config meeting tol, or (with a warning) the best one tried.
+
+    Descent only runs off the first trial: after an escalation the
+    config one rung down is the one that just failed.  The static bound
+    over-provisions uniform boxes by 1-2 rungs (measured: the N=200k
+    galaxy's m=16 pick is matched at 3.2e-5 by m=12 at ~13% less step
+    time), so paying a couple of ctor-time dispatches here buys the
+    whole run's steady-state rate.
     """
     best = None
-    for _ in range(max_trials):
+    for trial in range(max_trials):
         err = measured_force_error(qx, qy, qz, gm, soft,
                                    make_acc_fn(m, levels, cells),
                                    sample=sample)
         if best is None or err < best[3]:
             best = (m, levels, cells, err)
         if err <= tol:
+            if descend and trial == 0:
+                for _ in range(max_trials):
+                    down = descend_config(m, levels, cells)
+                    if down is None:
+                        break
+                    derr = measured_force_error(
+                        qx, qy, qz, gm, soft, make_acc_fn(*down),
+                        sample=sample)
+                    if derr > tol:
+                        break
+                    (m, levels, cells), err = down, derr
             return m, levels, cells, err
         m, levels, cells = escalate_config(m, levels, cells, half, soft,
                                            tol)

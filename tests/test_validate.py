@@ -22,8 +22,8 @@ from murb_tpu.core.state import BodyState
 from murb_tpu.models import create_engine
 from murb_tpu.ops import fmm
 from murb_tpu.ops.naive import acc_naive
-from murb_tpu.ops.validate import (escalate_config, measured_force_error,
-                                   validate_config)
+from murb_tpu.ops.validate import (descend_config, escalate_config,
+                                   measured_force_error, validate_config)
 
 SOFT = 2.0e8
 DT = 3600.0
@@ -90,15 +90,16 @@ def test_escalation_ladder():
 
 def test_random_box_meets_tol():
     """Uniform box: the engine must end at a config whose MEASURED error
-    meets tol, at most one escalation above the calibrated static pick
-    (m=8 sits right at the 1e-4 contract at this N -- the f64 reference
-    resolves its true error to ~1.1e-4, so m=8 or m=10 are both
-    legitimate outcomes; anything higher means the calibration broke)."""
+    meets tol, within one rung of the calibrated static pick in either
+    direction (m=8 sits right at the 1e-4 contract at this N -- the f64
+    reference resolves its true error to ~1.1e-4, so one escalation or
+    one descent are both legitimate measured outcomes; anything further
+    means the calibration broke)."""
     bodies = SCHEMES["random"](16384, 1)
     e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
     assert e.using_proxy and e.levels == 2
     static = fmm.fmm_order(6.65e8, SOFT, 2)
-    assert static <= e.m <= static + 2
+    assert static - 2 <= e.m <= static + 2
     assert e.validated_err is not None and e.validated_err <= e.tol
 
 
@@ -144,6 +145,57 @@ def test_sharded_engine_validates_too():
     e = create_engine("shard+fmm", bodies, soft=soft, dt=1.0, shards=4)
     assert e.validated_err is not None and e.validated_err <= 1e-4
     assert e.fmm_m > 8                  # static calibrated pick was 8
+
+
+def test_descent_ladder():
+    """descend_config mirrors escalate_config's rungs downward and stops
+    at the floors (single-cell m=8, hierarchy m=6)."""
+    assert descend_config(16, 0, 1) == (12, 0, 1)
+    assert descend_config(12, 0, 1) == (8, 0, 1)
+    assert descend_config(8, 0, 1) is None
+    assert descend_config(10, 2, 1) == (8, 2, 1)
+    assert descend_config(8, 3, 1) == (6, 3, 1)
+    assert descend_config(6, 2, 1) is None
+
+
+def test_descent_only_off_first_trial():
+    """After an escalation the config one rung down just FAILED -- descent
+    must not re-adopt it.  Simulated with a fake error schedule."""
+    errs = {16: 3e-4, 20: 5e-5}          # single cell: 16 fails, 20 passes
+
+    def fake_make(m, lv, c):
+        return (m, lv, c)
+
+    import murb_tpu.ops.validate as V
+
+    real = V.measured_force_error
+    try:
+        V.measured_force_error = (
+            lambda qx, qy, qz, gm, soft, cfg, sample=512: errs[cfg[0]])
+        m, lv, c, err = validate_config(
+            None, None, None, None, SOFT, 1e-4, 16, 0, 1, 2e8, fake_make)
+    finally:
+        V.measured_force_error = real
+    assert (m, lv) == (20, 0) and err == 5e-5
+
+
+def test_galaxy_descends_below_static_bound():
+    """The galaxy single-cell pick over-provisions (measured: m=12 matches
+    m=16's contract at ~13% less step time at N=200k).  The engine must
+    descend to a cheaper measured-valid order, and the descended config
+    must NOT trip proxy_health (the measured contract replaces the static
+    bound) nor churn maybe_adapt."""
+    from murb_tpu.ops.proxy import half_extent, required_order
+
+    bodies = SCHEMES["galaxy"](8192, 11)
+    e = create_engine("tpu+proxy", bodies, soft=SOFT, dt=DT)
+    assert e.using_proxy and e.levels == 0
+    half = half_extent(bodies.unpadded())
+    static = (required_order(half * 1.5, SOFT, 1e-4, margin=0) + 3) // 4 * 4
+    assert e.m < static                   # genuinely descended
+    assert e.validated_err is not None and e.validated_err <= e.tol
+    assert e.proxy_health()["ok"]
+    assert e.maybe_adapt() is False
 
 
 def test_validate_off_keeps_static_pick():
