@@ -129,18 +129,24 @@ def build_engine(cfg: MurbConfig):
 
             return acc
 
+        from murb_tpu.ops.validate import certified_half
+
         gmv = _jnp.asarray(_G, bodies.qx.dtype) * bodies.m
         proxy_m, fmm_levels, _, _err = validate_config(
             bodies.qx, bodies.qy, bodies.qz, gmv, cfg.softening, cfg.tol,
             proxy_m, fmm_levels, 1, half, _make_acc)
         kernel = "fmm" if fmm_levels else "proxy"
+        # measured-contract health basis: the box growth this validated
+        # config is certified for (rho^-m law, measured prefactor)
+        cert_half = certified_half(proxy_m, fmm_levels, float(half), _err,
+                                   cfg.softening, cfg.tol)
     _fusible = ("tpu+tracking", "tpu+leapfrog+tracking")
     if canonical in _fusible and kernel == "proxy":
         extra["fused_proxy_m"] = proxy_m  # fused force+potential proxy step
-        extra["validated_half"] = half    # measured-contract health basis
+        extra["validated_half"] = cert_half
     elif canonical in _fusible and kernel == "fmm":
         extra["fused_fmm"] = (proxy_m, fmm_levels)  # fused hierarchy step
-        extra["validated_half"] = half
+        extra["validated_half"] = cert_half
     elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
                        "tpu+leapfrog+tracking", "tpu+kdk"):
         from murb_tpu.ops import make_acc_fn

@@ -70,15 +70,15 @@ def _phi_metrics(state, phi, soft, out_dtype):
 
 
 def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm,
-                        validated_half=None,
-                        box_margin: float = 1.5) -> dict | None:
+                        validated_half=None) -> dict | None:
     """Validity check for a tracking engine's fused far-field path (same
     contract as ProxyEngine.proxy_health); None when using neither.
 
     ``validated_half``: when the order came from measured validation
     (ops/validate via the CLI), the config is certified for boxes up to
-    ``box_margin * validated_half`` instead of the static bound (descent
-    deliberately sits below it)."""
+    this half-extent (certified_half: the rho^-m law with the measured
+    prefactor) instead of the static bound, which a descended order
+    deliberately sits below."""
     if not (fused_proxy_m or fused_fmm):
         return None
     from murb_tpu.ops.proxy import half_extent, required_order
@@ -93,7 +93,7 @@ def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm,
         m, levels = fused_proxy_m, 0
         needed = required_order(half, soft)
     if validated_half is not None:
-        ok = half <= box_margin * validated_half
+        ok = half <= validated_half
     else:
         ok = needed <= m
     return {
@@ -406,7 +406,9 @@ class ProxyEngine(EulerAccelEngine):
             st.qx, st.qy, st.qz, gm, self.soft, self.tol,
             self.m, self.levels, self.cells, half, make_acc)
         self.validated_err = err
-        self.validated_half = float(half)
+        from murb_tpu.ops.validate import certified_half
+        self.validated_half = certified_half(m, levels, float(half), err,
+                                             self.soft, self.tol)
         if (m, levels, cells) != (self.m, self.levels, self.cells):
             self.m, self.levels, self.cells = int(m), int(levels), int(cells)
             self._apply_cost_model()
@@ -554,12 +556,13 @@ class ProxyEngine(EulerAccelEngine):
         else:
             needed = required_order(half / self.cells, self.soft)
         if self.validated_half is not None:
-            # Measured contract (ops/validate): the config was validated
-            # against an exact sample at validated_half and is certified
-            # for boxes up to the growth margin it was picked with -- the
-            # static bound no longer applies (descent deliberately sits
-            # below it).  Past the margin, maybe_adapt re-validates.
-            ok = half <= self.box_margin * self.validated_half
+            # Measured contract (ops/validate.certified_half): the config
+            # was measured against an exact sample and is certified for
+            # boxes up to where the rho^-m law with the MEASURED prefactor
+            # hits tol -- the static bound no longer applies (descent
+            # deliberately sits below it).  Past that, maybe_adapt
+            # re-measures at the grown box.
+            ok = half <= self.validated_half
         else:
             ok = needed <= self.m
         return {

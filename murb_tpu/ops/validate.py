@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["measured_force_error", "escalate_config", "descend_config",
-           "validate_config"]
+           "validate_config", "certified_half"]
 
 #: error statistic floor: per-body relative error with tiny-force bodies
 #: floored at 1e-6 of the system's max force norm -- the same convention
@@ -129,6 +129,44 @@ def descend_config(m: int, levels: int,
     if levels == 0:
         return (m - 4, 0, cells) if m - 4 >= _MIN_CELL_M else None
     return (m - 2, levels, 1) if m - 2 >= _MIN_HIER_M else None
+
+
+#: extrapolation trust region for certified_half: the rho^-m model is
+#: anchored at ONE measurement, so never certify growth past this factor
+#: of the measured box no matter how far below tol the error sits (errors
+#: at the fp32 floor would otherwise certify ~6x growth).  3x is still
+#: twice the headroom of the old static 1.5x growth margin.
+_CERT_GROWTH_CAP = 3.0
+
+
+def certified_half(m: int, levels: int, half: float, err: float,
+                   soft: float, tol: float,
+                   cap: float = _CERT_GROWTH_CAP) -> float:
+    """Largest box half-extent a MEASURED config stays inside ``tol`` for.
+
+    The static bound and the measurement agree on the convergence LAW --
+    err ~ C * rho^-m with rho = a + sqrt(1 + a^2), a = soft/h_eff (the
+    finest-cell scale h_eff = half / 2^levels is what fmm_order bounds) --
+    and disagree only on the prefactor C.  The measurement pins C at the
+    current box, so growth headroom follows by inverting the law:
+    rho(half') = rho(half) * (err / tol)^(1/m).  A descended order
+    (descend_config) therefore gets exactly the certification its
+    measured error supports instead of the static margin it deliberately
+    sits below; an out-of-contract measurement (err > tol) certifies
+    LESS than the current box, which proxy_health reports as not-ok.
+
+    Extrapolation is capped at ``cap * half`` (model trust region).
+    """
+    import math
+
+    h_eff = max(half, 1e-30) / 2 ** levels
+    a_now = max(soft / h_eff, 1e-6)
+    rho_now = a_now + math.sqrt(1.0 + a_now * a_now)
+    target_rho = rho_now * (max(err, 1e-30) / tol) ** (1.0 / max(m, 1))
+    if target_rho <= 1.0 + 1e-9:
+        return cap * half
+    a_t = (target_rho - 1.0 / target_rho) / 2.0
+    return min((soft / a_t) * 2 ** levels, cap * half)
 
 
 def validate_config(qx, qy, qz, gm, soft, tol, m: int, levels: int,

@@ -147,6 +147,34 @@ def test_sharded_engine_validates_too():
     assert e.fmm_m > 8                  # static calibrated pick was 8
 
 
+def test_certified_half_model():
+    """certified_half inverts the rho^-m convergence law around the
+    measured point: err==tol certifies exactly the measured box, smaller
+    errors buy capped growth headroom, an out-of-contract measurement
+    certifies LESS than the measured box (health must flag it)."""
+    from murb_tpu.ops.validate import certified_half
+
+    half, soft, tol = 1e9, 2e8, 1e-4
+    assert certified_half(12, 0, half, tol, soft, tol) == \
+        pytest.approx(half, rel=1e-6)
+    c = certified_half(12, 0, half, 1e-5, soft, tol)
+    assert half < c <= 3.0 * half
+    assert certified_half(12, 0, half, 1e-12, soft, tol) == 3.0 * half
+    assert certified_half(12, 0, half, 1e-3, soft, tol) < half
+    # hierarchy: the law applies at the finest-cell scale but the
+    # certified extent is a whole-box half-extent
+    c2 = certified_half(8, 2, half, 1e-5, soft, tol)
+    assert half < c2 <= 3.0 * half
+    # the same measured error implies a smaller prefactor at lower order,
+    # which buys MORE growth headroom (observable below the cap: use a
+    # box where a=soft/half is large enough that certification doesn't
+    # saturate at 3x)
+    tight = 4e8
+    lo = certified_half(8, 0, tight, 1e-5, soft, tol)
+    hi = certified_half(16, 0, tight, 1e-5, soft, tol)
+    assert tight < hi < lo < 3.0 * tight
+
+
 def test_descent_ladder():
     """descend_config mirrors escalate_config's rungs downward and stops
     at the floors (single-cell m=8, hierarchy m=6)."""
