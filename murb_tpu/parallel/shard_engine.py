@@ -140,6 +140,7 @@ class ShardedEngine(SimulationEngine):
 
         self.m2l_dots = m2l_dots
         self.validated_err: float | None = None
+        self.validated_half: float | None = None
         if mode in ("proxy", "fmm"):
             # Pick the solver geometry from the initial box, same policy
             # ladder as the single-chip ProxyEngine: a single global
@@ -205,6 +206,9 @@ class ShardedEngine(SimulationEngine):
                     bodies.qx, bodies.qy, bodies.qz, gmv, soft_val, 1e-4,
                     init_m, init_lv, 1, half, _make_acc)
                 self.validated_err = err
+                from murb_tpu.ops.validate import certified_half
+                self.validated_half = certified_half(
+                    int(mv), int(lvv), float(half), err, soft_val, 1e-4)
                 if lvv:
                     mode = "fmm"
                     self.fmm_m, self.fmm_levels = int(mv), int(lvv)
@@ -236,6 +240,36 @@ class ShardedEngine(SimulationEngine):
             self._state = replicate_state(self._state, self.mesh)
         else:
             self._state = shard_state(self._state, self.mesh)
+
+    def proxy_health(self) -> dict | None:
+        """Validity check for the far-field modes (same contract as
+        ProxyEngine.proxy_health, incl. the measured certification when
+        the ctor validated the pick); None for the exact modes.  The CLI
+        surfaces a not-ok post-run (build_engine's duck-typed hook)."""
+        if self.mode not in ("proxy", "fmm"):
+            return None
+        from murb_tpu.ops.fmm import fmm_order
+        from murb_tpu.ops.proxy import half_extent, required_order
+
+        half = half_extent(self._state.unpadded())
+        if self.mode == "fmm":
+            m, levels = self.fmm_m, self.fmm_levels
+            needed = fmm_order(half, self.soft, levels)
+        else:
+            m, levels = self.proxy_m, 0
+            needed = required_order(half, self.soft)
+        if self.validated_half is not None:
+            ok = half <= self.validated_half
+        else:
+            ok = needed <= m
+        return {
+            "using_proxy": True,
+            "m": m,
+            "cells": 1,
+            "levels": levels,
+            "required_m_now": needed,
+            "ok": ok,
+        }
 
     # ------------------------------------------------------------ step build
     def _local_step_fn(self):

@@ -145,6 +145,11 @@ def test_sharded_engine_validates_too():
     e = create_engine("shard+fmm", bodies, soft=soft, dt=1.0, shards=4)
     assert e.validated_err is not None and e.validated_err <= 1e-4
     assert e.fmm_m > 8                  # static calibrated pick was 8
+    # and it exposes the same health contract as the single-chip engine:
+    # the validated config is certified at the current box
+    health = e.proxy_health()
+    assert health is not None and health["ok"] and health["levels"] > 0
+    assert e.validated_half is not None
 
 
 def test_certified_half_model():
