@@ -197,6 +197,17 @@ def print_banner(cfg: MurbConfig, engine) -> None:
           f"{[str(d) for d in jax.devices()]}")
     print(f"  -> time step         (--dt  ): {cfg.dt:g} sec")
     print(f"  -> softening factor  (--soft): {cfg.softening:g}")
+    # measured-order selection outcome (ops/validate): surface the pick
+    # and its measured error so a run's accuracy config is auditable from
+    # the log alone
+    err = getattr(engine, "validated_err", None)
+    if err is not None:
+        lv = getattr(engine, "levels", getattr(engine, "fmm_levels", 0))
+        m = getattr(engine, "m", getattr(engine, "fmm_m",
+                                         getattr(engine, "proxy_m", 0)))
+        mode = f"fmm m={m} L={lv}" if lv else f"proxy m={m}"
+        print(f"  -> validated order           : {mode} "
+              f"(measured err {err:.1e} vs tol {cfg.tol:g})")
 
 
 def main(argv=None) -> int:
