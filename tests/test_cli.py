@@ -138,6 +138,17 @@ def test_cli_kernel_fmm(capsys):
     assert rc == 0 and "Simulation ended." in out
 
 
+def test_cli_banner_shows_validated_order(capsys):
+    """The banner surfaces the measured-order pick for far-field engines
+    (auditable accuracy config) and omits the line for exact engines."""
+    rc = main(["-n", "2048", "-i", "1", "--im", "tpu+proxy", "--nv"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "validated order" in out and "measured err" in out
+    rc = main(["-n", "512", "-i", "1", "--im", "cpu+naive", "--nv"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "validated order" not in out
+
+
 def test_cli_fused_tracking_paths(capsys):
     """--kernel proxy on BOTH tracking engines engages the fused
     force+potential far-field step (round-2 VERDICT weak 2/4: leapfrog
