@@ -102,6 +102,12 @@ def _build_registry():
         ),
     )
     register(
+        "tpu+hybrid+x3",
+        lambda b, **kw: E.HybridEngine(
+            b, passes=3, **_filter(kw, "block_i", "block_j", "autotune")
+        ),
+    )
+    register(
         "tpu+mxu",
         lambda b, **kw: E.MXUEngine(
             b, **_filter(kw, "block_i", "block_j", "precision", "autotune")

@@ -227,14 +227,19 @@ class PallasTileEngine(EulerAccelEngine):
 class HybridEngine(PallasTileEngine):
     """VPU+MXU hybrid kernel engine -- the single-chip flagship, replacing
     the reference's gpu+tile+full / gpu+tile+full200k CUDA kernels.
-    ``passes=2`` selects the high-accuracy two-pass bf16 reduction."""
+    ``passes=2`` selects the high-accuracy two-pass bf16 reduction;
+    ``passes=3`` the extended tier (exact-fp32 MXU operands + Kahan blocks,
+    the `double`-instantiation analogue).  fp64 state defaults to 3."""
 
     tag = "tpu+hybrid"
 
-    def __init__(self, bodies, soft=None, dt=None, *, passes: int = 2, **kw):
+    def __init__(self, bodies, soft=None, dt=None, *,
+                 passes: int | None = None, **kw):
         # Wide blocks want divisor-rich padding; ghosts are inert.
         if bodies.npad >= 8192:
             bodies = bodies.repad(2048)
+        if passes is None:
+            passes = 3 if jnp.dtype(bodies.qx.dtype) == jnp.float64 else 2
         self.passes = passes  # _resolve_blocks may time the kernel
         super().__init__(bodies, soft, dt, **kw)
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 _FP32_NOTIFIED: set[str] = set()
 
 
-def notify_fp32_compute(kernel: str, dtype) -> None:
+def notify_fp32_compute(kernel: str, dtype, detail: str | None = None) -> None:
     """Honesty notice for fp64 state entering an fp32 compute path.
 
     The TPU has no f64 vector unit, so every Pallas kernel computes its
@@ -30,13 +30,48 @@ def notify_fp32_compute(kernel: str, dtype) -> None:
     except TypeError:
         return
     _FP32_NOTIFIED.add(kernel)
+    detail = detail or (
+        "fp64 state is down-cast for the sweep (~1e-6 relative force error)"
+    )
     print(
         f"[murb-tpu] note: {kernel} computes in fp32 internally (the TPU "
-        f"has no f64 vector unit); fp64 state is down-cast for the sweep "
-        f"(~1e-6 relative force error). For bit-honest fp64 use the jnp "
-        f"engines (--im cpu+naive / cpu+optim).",
+        f"has no f64 vector unit); {detail}. For bit-honest fp64 use the "
+        f"jnp engines (--im cpu+naive / cpu+optim).",
         file=sys.stderr,
     )
+
+
+def BlockSpec(shape, index_map=None, **kw):
+    """``pl.BlockSpec`` with an x64-proof index map.
+
+    Under ``jax_enable_x64`` (the ``--precision fp64`` path) Python int
+    literals in index maps trace as i64 while grid indices stay i32; Mosaic
+    then fails to legalize the mixed-type index tuple
+    ("failed to legalize operation 'func.return' ... (i32, i64)", measured
+    on jax 0.9.0 / v5e).  Casting every returned index to int32 keeps the
+    kernels compilable regardless of the x64 flag."""
+    from jax.experimental import pallas as pl
+
+    if index_map is not None:
+        f = index_map
+
+        def index_map(*args):
+            out = f(*args)
+            if not isinstance(out, tuple):
+                out = (out,)
+            return tuple(jnp.int32(x) for x in out)
+
+    return pl.BlockSpec(shape, index_map, **kw)
+
+
+def f32_inputs(*arrays):
+    """Round f64 arrays to fp32 in XLA before they enter a Pallas kernel:
+    Mosaic has no f64 VMEM operands (measured: remote-compile failure on
+    f64 refs, v5e).  This is a one-way downcast of already-f64 state -- not
+    a Dekker split -- so the upcast-of-downcast elision hazard (CLAUDE.md)
+    has nothing to fold."""
+    return tuple(a.astype(jnp.float32) if a.dtype == jnp.float64 else a
+                 for a in arrays)
 
 
 class Accel(NamedTuple):

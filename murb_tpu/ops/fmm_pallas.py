@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from murb_tpu.ops.common import BlockSpec
+
 from murb_tpu.ops.proxy import _cheb_nodes
 from murb_tpu.ops.proxy_pallas import _basis_rows, _bsplit, _tj_nodes, dot3
 
@@ -199,18 +201,18 @@ def m2l_level_fused(w, hl, soft, *, m: int, C: int, subset: str = "expand",
     if exact_dots:
         w_ops = (wp, wn)
         w_specs = [
-            pl.BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
-            pl.BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
+            BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
+            BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
         ]
     else:
         wp_hi, wp_lo = _bsplit(wp)
         wn_hi, wn_lo = _bsplit(wn)
         w_ops = (wp_hi, wp_lo, wn_hi, wn_lo)
         w_specs = [
-            pl.BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
-            pl.BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
-            pl.BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
-            pl.BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
+            BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
+            BlockSpec((1, cblk, m3p), lambda c, k, u: (k, c, 0)),
+            BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
+            BlockSpec((1, cblk, tile), lambda c, k, u: (k, c, u)),
         ]
 
     # flat per-node coordinate vectors, padded with a finite sentinel: the
@@ -240,13 +242,13 @@ def m2l_level_fused(w, hl, soft, *, m: int, C: int, subset: str = "expand",
                           exact_dots=exact_dots),
         grid=(nc, K, nu),
         in_specs=w_specs + [
-            pl.BlockSpec((1, 1, 8), lambda c, k, u: (k, 0, 0)),   # offset row
-            pl.BlockSpec((3, m3p), lambda c, k, u: (0, 0)),       # col coords
-            pl.BlockSpec((tile, 1), lambda c, k, u: (u, 0)),      # row coords
-            pl.BlockSpec((tile, 1), lambda c, k, u: (u, 0)),
-            pl.BlockSpec((tile, 1), lambda c, k, u: (u, 0)),
+            BlockSpec((1, 1, 8), lambda c, k, u: (k, 0, 0)),   # offset row
+            BlockSpec((3, m3p), lambda c, k, u: (0, 0)),       # col coords
+            BlockSpec((tile, 1), lambda c, k, u: (u, 0)),      # row coords
+            BlockSpec((tile, 1), lambda c, k, u: (u, 0)),
+            BlockSpec((tile, 1), lambda c, k, u: (u, 0)),
         ],
-        out_specs=[pl.BlockSpec((cblk, m3p), lambda c, k, u: (c, 0))] * nf,
+        out_specs=[BlockSpec((cblk, m3p), lambda c, k, u: (c, 0))] * nf,
         out_shape=[jax.ShapeDtypeStruct((c3, m3p), f32)] * nf,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -336,6 +338,9 @@ def _p2m_grid_kernel(qx, qy, qz, gm, box, nodes, w_out, w_acc, *, m, C):
 def p2m_grid_fused(qx, qy, qz, gm_eff, c, h, *, m: int, C: int,
                    block: int = 512, interpret: bool = False):
     """W (C^3, m^3): fused multi-cell anterpolation (TPU only)."""
+    from murb_tpu.ops.common import f32_inputs
+
+    qx, qy, qz, gm_eff = f32_inputs(qx, qy, qz, gm_eff)  # no f64 VMEM refs
     n = qx.shape[0]
     assert n % block == 0, (n, block)
     cm = C * m
@@ -343,15 +348,15 @@ def p2m_grid_fused(qx, qy, qz, gm_eff, c, h, *, m: int, C: int,
     nodes = jnp.asarray(_tj_nodes(m), jnp.float32)
 
     row = lambda a: a.reshape(1, n)
-    bspec = pl.BlockSpec((1, block), lambda i: (0, i))
-    full = pl.BlockSpec((1, 8), lambda i: (0, 0))
-    nspec = pl.BlockSpec((m, m - 1), lambda i: (0, 0))
+    bspec = BlockSpec((1, block), lambda i: (0, i))
+    full = BlockSpec((1, 8), lambda i: (0, 0))
+    nspec = BlockSpec((m, m - 1), lambda i: (0, 0))
 
     w_ext = pl.pallas_call(
         functools.partial(_p2m_grid_kernel, m=m, C=C),
         grid=(n // block,),
         in_specs=[bspec, bspec, bspec, bspec, full, nspec],
-        out_specs=pl.BlockSpec((cm, cm * cm), lambda i: (0, 0)),
+        out_specs=BlockSpec((cm, cm * cm), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((cm, cm * cm), jnp.float32),
         scratch_shapes=[pltpu.VMEM((cm, cm * cm), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -377,6 +382,10 @@ def _l2p_grid_kernel(qx, qy, qz, box, nodes, fmat, *outs, m, C):
 def l2p_grid_fused(qx, qy, qz, c, h, fields, *, m: int, C: int,
                    block: int = 512, interpret: bool = False):
     """Interpolate (C^3, m^3) node fields back to the bodies -> tuple (n,)."""
+    from murb_tpu.ops.common import f32_inputs
+
+    dtype_in = qx.dtype
+    qx, qy, qz = f32_inputs(qx, qy, qz)  # no f64 VMEM refs
     n = qx.shape[0]
     assert n % block == 0, (n, block)
     cm = C * m
@@ -388,11 +397,11 @@ def l2p_grid_fused(qx, qy, qz, c, h, fields, *, m: int, C: int,
     )  # (k*cm, cm^2)
 
     row = lambda a: a.reshape(1, n)
-    bspec = pl.BlockSpec((1, block), lambda i: (0, i))
-    full = pl.BlockSpec((1, 8), lambda i: (0, 0))
-    nspec = pl.BlockSpec((m, m - 1), lambda i: (0, 0))
-    fspec = pl.BlockSpec((k * cm, cm * cm), lambda i: (0, 0))
-    ospec = pl.BlockSpec((1, block), lambda i: (0, i))
+    bspec = BlockSpec((1, block), lambda i: (0, i))
+    full = BlockSpec((1, 8), lambda i: (0, 0))
+    nspec = BlockSpec((m, m - 1), lambda i: (0, 0))
+    fspec = BlockSpec((k * cm, cm * cm), lambda i: (0, 0))
+    ospec = BlockSpec((1, block), lambda i: (0, i))
 
     outs = pl.pallas_call(
         functools.partial(_l2p_grid_kernel, m=m, C=C),
@@ -405,4 +414,4 @@ def l2p_grid_fused(qx, qy, qz, c, h, fields, *, m: int, C: int,
         ),
         interpret=interpret,
     )(row(qx), row(qy), row(qz), box, nodes, fmat)
-    return tuple(o.reshape(n).astype(qx.dtype) for o in outs)
+    return tuple(o.reshape(n).astype(dtype_in) for o in outs)

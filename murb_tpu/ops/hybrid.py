@@ -32,6 +32,14 @@ both faster and exactly accurate (no cancellation).
       mantissa on every weight; with the always-on A_p split this lands at
       ~3e-5 max relative force error (measured vs the exact oracle at
       N=2048, both schemes) -- genuinely fp32-class; ~20% slower.
+  3 -- extended-precision tier: BOTH operands split into 3 bf16 terms
+      (8-bit mantissas x3 = 24 bits, i.e. the fp32 operands enter the MXU
+      EXACTLY -- each bf16xbf16 partial product is exact in the fp32
+      accumulator), plus Kahan-compensated accumulation of the per-block
+      partial sums across the j sweep.  The only remaining error is fp32
+      rounding inside each dot's K-long sum and the fp32 epilogue; the
+      analogue of the reference's `double` engine instantiations
+      (ref: SimulationNBodyNaive.cpp double instantiation) at TPU speed.
 
 Replaces the reference's CUDA flagship kernels (gpu+tile+full / ...200k,
 ref: SimulationNBodyCUDATileFullDevice.cu:53-153) as the production path.
@@ -46,11 +54,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from murb_tpu.ops.common import Accel, pick_block
+from murb_tpu.ops.common import Accel, BlockSpec, f32_inputs, pick_block
+
+
+def _bsplit(x32, terms: int):
+    """Dekker split of an fp32 array into ``terms`` bf16 parts summing (in
+    fp32) back to it; terms=3 is exact (3x8-bit mantissas cover fp32's 24).
+    MUST run inside the kernel: an XLA-level split is folded away by the
+    algebraic simplifier's upcast-of-downcast elision (see module notes /
+    CLAUDE.md); Mosaic never folds in-kernel splits."""
+    parts = []
+    r = x32
+    for _ in range(terms - 1):
+        h = r.astype(jnp.bfloat16)
+        parts.append(h)
+        r = r - h.astype(jnp.float32)
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
 
 
 def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,
-                   *, soft2, passes):
+                   comp=None, *, soft2, passes):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -71,45 +95,60 @@ def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,
     # upcast-of-downcast elision (measured: lo rows silently zeroed, error
     # back at ~4e-3 -- the same hazard CLAUDE.md documents for bf16x3
     # dots in interpret mode).  Mosaic never folds in-kernel splits.
+    # 2 terms (16-bit mantissa) for passes<=2; 3 terms (exact fp32) for the
+    # extended tier.  M=16/24 costs the same as M=8 on the 128-row systolic
+    # array, so extra terms cost only one (8, BI) VPU add each per pass.
+    nterms = 3 if passes >= 3 else 2
     ap32 = ap[...].astype(jnp.float32)
-    ap_hi = ap32.astype(jnp.bfloat16)
-    ap_lo = (ap32 - ap_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    ap16 = jnp.concatenate([ap_hi, ap_lo], axis=0)        # (16, BJ)
+    apb = jnp.concatenate(_bsplit(ap32, nterms), axis=0)  # (8*nterms, BJ)
 
     def dot_p(w):
-        # hi rows 0:8, Dekker lo rows 8:16; M=16 costs the same as M=8 on
-        # the 128-row systolic array, so the hi+lo fold is one (8, BI)
-        # VPU add per pass.
-        p16 = jax.lax.dot_general(
-            ap16, w,
+        pb = jax.lax.dot_general(
+            apb, w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-        return p16[0:8, :] + p16[8:16, :]
+        out = pb[0:8, :]
+        for k in range(1, nterms):
+            out = out + pb[8 * k:8 * (k + 1), :]
+        return out
 
     # ---- MXU: P[(gm qx, gm qy, gm qz, gm), i] = sum_j A_p[:, j] * W[j, i]
-    w_hi = w32.astype(jnp.bfloat16)
-    p = dot_p(w_hi)
-    if passes == 2:
-        w_lo = (w32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        p += dot_p(w_lo)
+    if passes == 1:
+        w_parts = [w32.astype(jnp.bfloat16)]
+    else:
+        w_parts = _bsplit(w32, passes)
+    p = dot_p(w_parts[0])
+    for wp in w_parts[1:]:
+        p += dot_p(wp)
 
     @pl.when(j == 0)
     def _init():
         acc[...] = p
+        if passes >= 3:
+            comp[...] = jnp.zeros_like(p)
 
     @pl.when(j > 0)
     def _accumulate():
-        acc[...] += p
+        if passes >= 3:
+            # Kahan: comp carries the low-order bits the fp32 add drops,
+            # so the cross-block sum doesn't random-walk at 2^-24 per add.
+            y = p - comp[...]
+            t = acc[...] + y
+            comp[...] = (t - acc[...]) - y
+            acc[...] = t
+        else:
+            acc[...] += p
 
     # ---- epilogue after the full j sweep: a_i = P[0:3] - q_i * P[3]
     @pl.when(j == nj - 1)
     def _epilogue():
-        sw = acc[3:4, :]
-        axo[...] = acc[0:1, :] - qxi[...].astype(jnp.float32) * sw
-        ayo[...] = acc[1:2, :] - qyi[...].astype(jnp.float32) * sw
-        azo[...] = acc[2:3, :] - qzi[...].astype(jnp.float32) * sw
+        s = acc[...] - comp[...] if passes >= 3 else acc[...]
+        sw = s[3:4, :]
+        axo[...] = s[0:1, :] - qxi[...].astype(jnp.float32) * sw
+        ayo[...] = s[1:2, :] - qyi[...].astype(jnp.float32) * sw
+        azo[...] = s[2:3, :] - qzi[...].astype(jnp.float32) * sw
 
 
 @functools.partial(
@@ -122,9 +161,14 @@ def acc_hybrid_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     """Accelerations of the i-set due to the j-set via the hybrid kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert passes in (1, 2, 3), passes
     from murb_tpu.ops.common import notify_fp32_compute
 
-    notify_fp32_compute("tpu+hybrid", qxi.dtype)
+    notify_fp32_compute(
+        f"tpu+hybrid/p{passes}", qxi.dtype,
+        detail=("fp64 state runs the extended tier (exact-fp32 MXU "
+                "operands + Kahan blocks, ~1e-6 relative force error)"
+                if passes >= 3 else None))
     ni = qxi.shape[0]
     nj = qxj.shape[0]
     # Measured optimum at large N: wide i-lanes, 1k j-rows per block.
@@ -135,13 +179,17 @@ def acc_hybrid_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     soft2 = float(soft) ** 2
 
     zeros = jnp.zeros_like(gmj)
+    # A_p products form BEFORE the downcast: with f64 state they round once.
     a_p = jnp.stack([gmj * qxj, gmj * qyj, gmj * qzj, gmj,
                      zeros, zeros, zeros, zeros]).astype(jnp.float32)
+    from murb_tpu.ops.common import f32_inputs
 
-    jspec = pl.BlockSpec((bj, 1), lambda i, j: (j, 0))
-    ispec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
-    aspec = pl.BlockSpec((8, bj), lambda i, j: (0, j))
-    ospec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
+    qxj, qyj, qzj, qxi, qyi, qzi = f32_inputs(qxj, qyj, qzj, qxi, qyi, qzi)
+
+    jspec = BlockSpec((bj, 1), lambda i, j: (j, 0))
+    ispec = BlockSpec((1, bi), lambda i, j: (0, i))
+    aspec = BlockSpec((8, bj), lambda i, j: (0, j))
+    ospec = BlockSpec((1, bi), lambda i, j: (0, i))
 
     col = lambda a: a.reshape(-1, 1)
     row = lambda a: a.reshape(1, -1)
@@ -152,7 +200,8 @@ def acc_hybrid_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
         in_specs=[jspec, jspec, jspec, ispec, ispec, ispec, aspec],
         out_specs=[ospec, ospec, ospec],
         out_shape=[jax.ShapeDtypeStruct((1, ni), jnp.float32)] * 3,
-        scratch_shapes=[pltpu.VMEM((8, bi), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, bi), jnp.float32)] * (
+            2 if passes >= 3 else 1),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

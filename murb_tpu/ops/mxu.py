@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from murb_tpu.ops.common import Accel, pick_block
+from murb_tpu.ops.common import Accel, BlockSpec, f32_inputs, pick_block
 
 # Mosaic's dot lowering accepts only DEFAULT and HIGHEST
 # (jax/_src/pallas/mosaic/lowering.py _dot_general_lowering_rule); "high"
@@ -141,11 +141,11 @@ def acc_mxu_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     b_mat = jnp.stack([m2 * cqxi, m2 * cqyi, m2 * cqzi, ones_i, nqi + soft2,
                        zeros_i, zeros_i, zeros_i])                  # (8, ni)
 
-    aspec = pl.BlockSpec((8, bj), lambda i, j: (0, j))
-    bspec = pl.BlockSpec((8, bi), lambda i, j: (0, i))
-    gspec = pl.BlockSpec((bj, 1), lambda i, j: (j, 0))
-    qspec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
-    ospec = pl.BlockSpec((1, bi), lambda i, j: (0, i))
+    aspec = BlockSpec((8, bj), lambda i, j: (0, j))
+    bspec = BlockSpec((8, bi), lambda i, j: (0, i))
+    gspec = BlockSpec((bj, 1), lambda i, j: (j, 0))
+    qspec = BlockSpec((1, bi), lambda i, j: (0, i))
+    ospec = BlockSpec((1, bi), lambda i, j: (0, i))
 
     grid = (ni // bi, nj // bj)
     out_shape = [jax.ShapeDtypeStruct((1, ni), jnp.float32)] * 3
@@ -172,7 +172,8 @@ def acc_mxu_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
             transcendentals=ni * nj,
         ),
         interpret=interpret,
-    )(a_mat, b_mat, gmj.reshape(-1, 1), row(cqxi), row(cqyi), row(cqzi))
+    )(*f32_inputs(a_mat, b_mat, gmj.reshape(-1, 1),
+                  row(cqxi), row(cqyi), row(cqzi)))
 
     return Accel(
         ax.reshape(ni).astype(dtype),

@@ -27,6 +27,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from murb_tpu.ops.common import BlockSpec
+
 
 def fused_block(n: int, m: int = 16) -> int | None:
     """Block size for the fused kernels, or None when they don't apply
@@ -133,6 +135,9 @@ def _p2m_kernel(qx, qy, qz, gm, box, nodes, w_out, w_acc, *, m):
 def p2m_fused(qx, qy, qz, gm_eff, c, h, *, m: int, block: int = 2048,
               interpret: bool = False):
     """W (m^3,) = P2M with in-kernel basis construction (TPU only)."""
+    from murb_tpu.ops.common import f32_inputs
+
+    qx, qy, qz, gm_eff = f32_inputs(qx, qy, qz, gm_eff)  # no f64 VMEM refs
     n = qx.shape[0]
     assert n % block == 0, (n, block)
     box = jnp.concatenate([c, h, jnp.zeros(2, c.dtype)]).reshape(1, 8)
@@ -140,15 +145,15 @@ def p2m_fused(qx, qy, qz, gm_eff, c, h, *, m: int, block: int = 2048,
     nodes = jnp.asarray(_tj_nodes(m), jnp.float32)
 
     row = lambda a: a.reshape(1, n)
-    bspec = pl.BlockSpec((1, block), lambda i: (0, i))
-    full = pl.BlockSpec((1, 8), lambda i: (0, 0))
-    nspec = pl.BlockSpec((m, m - 1), lambda i: (0, 0))
+    bspec = BlockSpec((1, block), lambda i: (0, i))
+    full = BlockSpec((1, 8), lambda i: (0, 0))
+    nspec = BlockSpec((m, m - 1), lambda i: (0, 0))
 
     w = pl.pallas_call(
         functools.partial(_p2m_kernel, m=m),
         grid=(n // block,),
         in_specs=[bspec, bspec, bspec, bspec, full, nspec],
-        out_specs=pl.BlockSpec((m, m * m), lambda i: (0, 0)),
+        out_specs=BlockSpec((m, m * m), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((m, m * m), jnp.float32),
         scratch_shapes=[pltpu.VMEM((m, m * m), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -178,6 +183,10 @@ def _l2p_kernel(qx, qy, qz, box, nodes, fmat, *outs, m):
 def l2p_fused_multi(qx, qy, qz, c, h, fields, *, m: int, block: int = 2048,
                     interpret: bool = False):
     """Interpolate an arbitrary tuple of (m^3,) node fields -> tuple of (n,)."""
+    from murb_tpu.ops.common import f32_inputs
+
+    dtype_in = qx.dtype
+    qx, qy, qz = f32_inputs(qx, qy, qz)  # no f64 VMEM refs
     n = qx.shape[0]
     assert n % block == 0, (n, block)
     k = len(fields)
@@ -189,11 +198,11 @@ def l2p_fused_multi(qx, qy, qz, c, h, fields, *, m: int, block: int = 2048,
     ).astype(jnp.float32)  # (k*m, m^2)
 
     row = lambda a: a.reshape(1, n)
-    bspec = pl.BlockSpec((1, block), lambda i: (0, i))
-    full = pl.BlockSpec((1, 8), lambda i: (0, 0))
-    nspec = pl.BlockSpec((m, m - 1), lambda i: (0, 0))
-    fspec = pl.BlockSpec((k * m, m * m), lambda i: (0, 0))
-    ospec = pl.BlockSpec((1, block), lambda i: (0, i))
+    bspec = BlockSpec((1, block), lambda i: (0, i))
+    full = BlockSpec((1, 8), lambda i: (0, 0))
+    nspec = BlockSpec((m, m - 1), lambda i: (0, 0))
+    fspec = BlockSpec((k * m, m * m), lambda i: (0, 0))
+    ospec = BlockSpec((1, block), lambda i: (0, i))
 
     outs = pl.pallas_call(
         functools.partial(_l2p_kernel, m=m),
@@ -207,7 +216,7 @@ def l2p_fused_multi(qx, qy, qz, c, h, fields, *, m: int, block: int = 2048,
         interpret=interpret,
     )(row(qx), row(qy), row(qz), box, nodes, fmat)
     # preserve the caller's state dtype (XLA-path parity)
-    return tuple(o.reshape(n).astype(qx.dtype) for o in outs)
+    return tuple(o.reshape(n).astype(dtype_in) for o in outs)
 
 
 def l2p_fused(qx, qy, qz, c, h, f_ax, f_ay, f_az, *, m: int,

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from murb_tpu.ops.common import Accel, pick_block
+from murb_tpu.ops.common import Accel, BlockSpec, pick_block
 
 
 def _ring_kernel(qxi, qyi, qzi, jx, jy, jz, jgm, ax, ay, az, buf,
@@ -169,9 +169,9 @@ def acc_ring_pipelined(qx, qy, qz, gm, soft, *, axis_name: str,
     col = lambda a: a.reshape(-1, 1)
     row = lambda a: a.reshape(1, -1)
 
-    ispec = pl.BlockSpec((bi, 1), lambda k, i: (i, 0))
-    jspec = pl.BlockSpec((1, n_l), lambda k, i: (0, 0))
-    ospec = pl.BlockSpec((n_l, 1), lambda k, i: (0, 0))
+    ispec = BlockSpec((bi, 1), lambda k, i: (i, 0))
+    jspec = BlockSpec((1, n_l), lambda k, i: (0, 0))
+    ospec = BlockSpec((n_l, 1), lambda k, i: (0, 0))
 
     kernel = functools.partial(
         _ring_kernel, soft2=soft2, n_devices=n_devices,

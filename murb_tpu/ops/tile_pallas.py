@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from murb_tpu.ops.common import Accel, pick_block
+from murb_tpu.ops.common import Accel, BlockSpec, f32_inputs, pick_block
 
 
 def _tile_kernel(qxi, qyi, qzi, qxj, qyj, qzj, gmj, ax, ay, az, *, soft2):
@@ -81,20 +81,23 @@ def acc_tile_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
     from murb_tpu.ops.common import notify_fp32_compute
 
     notify_fp32_compute("tpu+tile", qxi.dtype)
+    dtype_in = qxi.dtype
+    qxi, qyi, qzi, qxj, qyj, qzj, gmj = f32_inputs(
+        qxi, qyi, qzi, qxj, qyj, qzj, gmj)
     ni = qxi.shape[0]
     nj = qxj.shape[0]
     bi = block_i or pick_block(ni, 256)
     bj = block_j or pick_block(nj, 2048)
     assert ni % bi == 0 and nj % bj == 0, (ni, nj, bi, bj)
-    dtype = qxi.dtype
+    dtype = dtype_in
     soft2 = float(soft) ** 2
 
     col = lambda a: a.reshape(-1, 1)
     row = lambda a: a.reshape(1, -1)
 
-    ispec = pl.BlockSpec((bi, 1), lambda i, j: (i, 0))
-    jspec = pl.BlockSpec((1, bj), lambda i, j: (0, j))
-    ospec = pl.BlockSpec((bi, 1), lambda i, j: (i, 0))
+    ispec = BlockSpec((bi, 1), lambda i, j: (i, 0))
+    jspec = BlockSpec((1, bj), lambda i, j: (0, j))
+    ospec = BlockSpec((bi, 1), lambda i, j: (i, 0))
 
     grid = (ni // bi, nj // bj)
     out_shape = [jax.ShapeDtypeStruct((ni, 1), jnp.float32)] * 3
