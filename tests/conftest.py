@@ -41,6 +41,11 @@ if os.environ.get("MURB_TEST_TPU") == "1":
     from murb_tpu.cli import enable_compile_cache
 
     enable_compile_cache()
+    # x64 so the fp64 tests exercise real f64 state on the chip (XLA:TPU
+    # emulates f64; Pallas kernels are x64-proof via common.BlockSpec /
+    # f32_inputs).  Without this, .astype(float64) silently yields f32 and
+    # the fp64 differential tests would compare fp32 against itself.
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
