@@ -456,11 +456,11 @@ def heavy_target_phi(qx, qy, qz, gm, hq, soft):
 @functools.partial(
     jax.jit,
     static_argnames=("soft", "m", "heavy_k", "heavy_factor", "cells",
-                     "block"),
+                     "block", "fused"),
 )
 def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
               heavy_factor: float = DEFAULT_HEAVY_FACTOR, cells: int = 1,
-              block: int = 0) -> Accel:
+              block: int = 0, fused: bool = True) -> Accel:
     """All-pairs softened-gravity accelerations via the Chebyshev proxy.
 
     ``cells=2`` splits the domain into 2x2x2 octants with per-octant
@@ -485,8 +485,10 @@ def acc_proxy(qx, qy, qz, gm, soft, *, m: int = 16, heavy_k: int = 1,
     from murb_tpu.ops.proxy_pallas import fused_block
 
     # ``block`` overrides the anterpolation block target within the fused
-    # path's eligibility (autotuned via ProxyEngine; 0 = policy default)
-    blk = fused_block(n, m) if cells == 1 else None
+    # path's eligibility (autotuned via ProxyEngine; 0 = policy default).
+    # ``fused=False`` pins the jnp anterpolation stages -- required by the
+    # differentiable rollouts (murb_tpu.diff): Pallas kernels have no VJP.
+    blk = fused_block(n, m) if (cells == 1 and fused) else None
     if blk and block:
         from murb_tpu.ops.common import pick_block
 
