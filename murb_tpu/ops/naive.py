@@ -78,6 +78,42 @@ def acc_chunked(qx, qy, qz, gm, soft, *, chunk: int = 1024) -> Accel:
     return Accel(ax=ax.reshape(npad), ay=ay.reshape(npad), az=az.reshape(npad))
 
 
+def acc_rect_jchunked(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
+                      chunk: int = 262_144) -> Accel:
+    """j-chunked rectangular sweep with O(ni * chunk) live memory.
+
+    The plain ``acc_rect`` broadcast materializes (ni, nj) intermediates;
+    at validation scale that kills the chip (measured: 76 GB of HBM at
+    ni=512, nj=20M -- XLA does not stream the multi-consumer broadcast).
+    A ``lax.scan`` over j-chunks caps the live set; bitwise-same math."""
+    nj = qxj.shape[0]
+    chunk = min(chunk, nj)
+    if nj % chunk != 0:
+        from murb_tpu.ops.common import pick_block
+
+        chunk = pick_block(nj, chunk)
+    assert nj % chunk == 0, (nj, chunk)
+    dtype = qxi.dtype
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    ni = qxi.shape[0]
+
+    qj = jnp.stack([qxj, qyj, qzj, gmj]).reshape(4, nj // chunk, chunk)
+    qj = jnp.moveaxis(qj, 1, 0)  # (nchunk, 4, chunk)
+    zeros = jnp.zeros((ni,), dtype)
+
+    def body(carry, qc):
+        dx = qc[0][None, :] - qxi[:, None]
+        dy = qc[1][None, :] - qyi[:, None]
+        dz = qc[2][None, :] - qzi[:, None]
+        w = _pair_weights(dx, dy, dz, qc[3][None, :], soft2)
+        return (carry[0] + jnp.sum(w * dx, axis=1),
+                carry[1] + jnp.sum(w * dy, axis=1),
+                carry[2] + jnp.sum(w * dz, axis=1)), None
+
+    (ax, ay, az), _ = jax.lax.scan(body, (zeros, zeros, zeros), qj)
+    return Accel(ax=ax, ay=ay, az=az)
+
+
 def acc_rect(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft) -> Accel:
     """Rectangular broadcast sweep: accelerations of the i-set due to the
     j-set.  Small-shape building block for the distributed engines."""

@@ -56,7 +56,7 @@ def measured_force_error(qx, qy, qz, gm, soft, acc_fn,
     import jax
     import jax.numpy as jnp
 
-    from murb_tpu.ops.naive import acc_rect
+    from murb_tpu.ops.naive import acc_rect_jchunked as acc_rect
 
     n = int(qx.shape[0])
     k = min(int(sample), n)

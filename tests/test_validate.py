@@ -137,10 +137,12 @@ def test_validate_config_warns_and_keeps_best(capsys):
     assert "WARNING" in capsys.readouterr().out
 
 
-def test_sharded_engine_validates_too():
+def test_sharded_engine_validates_too(n_devices):
     """The distributed fast modes carry the same measured contract: the
     adversarial box must escalate shard+fmm's order before the sharded
     step is compiled."""
+    if n_devices < 4:
+        pytest.skip("needs multi-device")  # chip suite runs on 1 real TPU
     bodies, soft = _two_clusters(n=8192)
     e = create_engine("shard+fmm", bodies, soft=soft, dt=1.0, shards=4)
     assert e.validated_err is not None and e.validated_err <= 1e-4
