@@ -205,7 +205,7 @@ def main() -> None:
     # measured-validated order for each box
     ladder_large = {}
     for tn, steps in ((1_000_000, 150), (2_000_000, 80), (5_000_000, 40),
-                      (10_000_000, 20)):
+                      (10_000_000, 20), (20_000_000, 10), (50_000_000, 6)):
         fps, eng = measure("tpu+proxy", steps, n=tn, warmup=5,
                            ret_engine=True)
         ladder_large[f"{tn // 1_000_000}M"] = {
