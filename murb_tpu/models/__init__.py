@@ -148,6 +148,10 @@ def _build_registry():
         "tpu+kdk",
         lambda b, **kw: E.KDKEngine(b, **_filter(kw, "acc_fn")),
     )
+    register(
+        "tpu+yoshida4",
+        lambda b, **kw: E.Yoshida4Engine(b, **_filter(kw, "acc_fn")),
+    )
 
     # Distributed engines (murb_tpu.parallel) -- imported lazily so
     # single-device use never touches mesh plumbing.

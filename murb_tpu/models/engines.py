@@ -27,6 +27,7 @@ from murb_tpu.core.integrators import (
     leapfrog_first,
     leapfrog_last,
     leapfrog_middle,
+    yoshida4_step,
 )
 from murb_tpu.core import metrics as metrics_mod
 from murb_tpu.models.base import EulerAccelEngine, SimulationEngine
@@ -585,6 +586,7 @@ class KDKEngine(SimulationEngine):
     """Textbook kick-drift-kick symplectic integrator over any kernel."""
 
     tag = "tpu+kdk"
+    _integrator = staticmethod(kdk_step)
 
     def __init__(self, bodies, acc_fn=None, **kw):
         super().__init__(bodies, **kw)
@@ -596,11 +598,12 @@ class KDKEngine(SimulationEngine):
 
     def _make_step(self):
         dt = self._dt
+        integ = type(self)._integrator
 
         def step(state):
             gm = self._gm(state)
             acc_at = lambda x, y, z: self._acc_fn(x, y, z, gm)
-            return kdk_step(state, acc_at, dt), None
+            return integ(state, acc_at, dt), None
 
         return jax.jit(step, donate_argnums=0)
 
@@ -610,11 +613,12 @@ class KDKEngine(SimulationEngine):
         fn = self._run_cache.get("loop")
         if fn is None:
             dt = self._dt
+            integ = type(self)._integrator
 
             def body(_, state):
                 gm = self._gm(state)
                 acc_at = lambda x, y, z: self._acc_fn(x, y, z, gm)
-                return kdk_step(state, acc_at, dt)
+                return integ(state, acc_at, dt)
 
             @partial(jax.jit, donate_argnums=0)
             def run_loop(state, n):
@@ -623,6 +627,15 @@ class KDKEngine(SimulationEngine):
             fn = self._run_cache["loop"] = run_loop
         self._state = fn(self._state, n_iterations)
         self._iteration += n_iterations
+
+
+class Yoshida4Engine(KDKEngine):
+    """4th-order symplectic integrator (Yoshida triple-jump): three force
+    evaluations per step for an O(dt^4) energy error -- the high-accuracy
+    rung above the leapfrog family (`core/integrators.yoshida4_step`)."""
+
+    tag = "tpu+yoshida4"
+    _integrator = staticmethod(yoshida4_step)
 
 
 class LeapfrogEngine(SimulationEngine):

@@ -151,3 +151,42 @@ def test_leapfrog_last_phase():
     assert np.all(np.isfinite(d["qx"]))
     before = bodies.unpadded()
     assert np.any(d["qx"] != before["qx"])
+
+
+def test_yoshida4_conserves_energy_better_than_kdk():
+    """The 4th-order triple-jump's energy drift must sit well below the
+    2nd-order KDK's at the same (large) dt -- the O(dt^4) vs O(dt^2) gap."""
+    n, iters = 512, 50
+    bodies = SCHEMES["galaxy"](n, 9)
+    kdk = create_engine("tpu+kdk", bodies, soft=SOFT, dt=DT * 50)
+    y4 = create_engine("tpu+yoshida4", bodies, soft=SOFT, dt=DT * 50)
+    e0 = _energy(kdk)
+    kdk.run(iters)
+    y4.run(iters)
+    drift_kdk = abs(_energy(kdk) - e0)
+    drift_y4 = abs(_energy(y4) - e0)
+    assert drift_y4 < drift_kdk * 0.2, (drift_y4, drift_kdk)
+
+
+def test_yoshida4_matches_kdk_at_small_dt():
+    """Both integrate the same flow: trajectories agree at small dt."""
+    bodies = SCHEMES["random"](256, 4)
+    kdk = create_engine("tpu+kdk", bodies, soft=SOFT, dt=DT)
+    y4 = create_engine("tpu+yoshida4", bodies, soft=SOFT, dt=DT)
+    kdk.run(10)
+    y4.run(10)
+    a, b = kdk.bodies.unpadded(), y4.bodies.unpadded()
+    assert_within_rel(b["qx"], a["qx"], 1e-5, "yoshida4 vs kdk qx")
+    assert_within_rel(b["vx"], a["vx"], 1e-3, "yoshida4 vs kdk vx",
+                      rms_floor=1e-5)
+
+
+def test_yoshida4_run_matches_stepwise():
+    bodies = SCHEMES["random"](256, 6)
+    a = create_engine("tpu+yoshida4", bodies, soft=SOFT, dt=DT)
+    b = create_engine("tpu+yoshida4", bodies, soft=SOFT, dt=DT)
+    for _ in range(4):
+        a.compute_one_iteration()
+    b.run(4)
+    da, db = a.bodies.unpadded(), b.bodies.unpadded()
+    assert_within_rel(db["qx"], da["qx"], 1e-6, "yoshida4 run vs stepwise")
