@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from murb_tpu import G
-from murb_tpu.core.integrators import euler_update
+from murb_tpu.core.integrators import euler_update, kdk_step, yoshida4_step
 from murb_tpu.core.state import BodyState
 from murb_tpu.ops.common import Accel
 
@@ -71,12 +71,17 @@ def _acc_method(method: str, soft, **kw) -> Callable:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("steps", "method", "remat", "chunk", "m"))
+                   static_argnames=("steps", "method", "remat", "chunk", "m",
+                                    "integrator"))
 def rollout(state: BodyState, *, steps: int, dt, soft,
             method: str = "chunked", remat: bool = True,
-            chunk: int = 1024, m: int = 12) -> BodyState:
-    """Integrate ``steps`` Euler iterations; differentiable end to end.
+            chunk: int = 1024, m: int = 12,
+            integrator: str = "euler") -> BodyState:
+    """Integrate ``steps`` iterations; differentiable end to end.
 
+    ``integrator``: euler (reference scheme) | kdk (symplectic 2nd order) |
+    yoshida4 (symplectic 4th order -- the right adjoint for long horizons:
+    symplectic flows keep the backward pass well-conditioned).
     ``remat=True`` wraps the step in `jax.checkpoint`: the backward pass
     recomputes each step's forces instead of storing O(steps) activations --
     the standard memory/flops trade for long adjoints."""
@@ -84,8 +89,16 @@ def rollout(state: BodyState, *, steps: int, dt, soft,
 
     def step(st, _):
         gm = jnp.asarray(G, st.dtype) * st.m
-        a = acc(st.qx, st.qy, st.qz, gm)
-        return euler_update(st, a, dt), None
+        acc_at = lambda x, y, z: acc(x, y, z, gm)
+        if integrator == "euler":
+            nxt = euler_update(st, acc_at(st.qx, st.qy, st.qz), dt)
+        elif integrator == "kdk":
+            nxt = kdk_step(st, acc_at, dt)
+        elif integrator == "yoshida4":
+            nxt = yoshida4_step(st, acc_at, dt)
+        else:
+            raise ValueError(f"unknown integrator {integrator!r}")
+        return nxt, None
 
     if remat:
         step = jax.checkpoint(step)

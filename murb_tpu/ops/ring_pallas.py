@@ -159,11 +159,15 @@ def acc_ring_pipelined(qx, qy, qz, gm, soft, *, axis_name: str,
     Call INSIDE shard_map over a 1-D mesh; every array is the shard's local
     block (n_l,).  ``gm`` must already include G.
     """
+    from murb_tpu.ops.common import f32_inputs
+
+    dtype_in = qx.dtype
+    qx, qy, qz, gm = f32_inputs(qx, qy, qz, gm)  # Mosaic has no f64 refs
     n_l = qx.shape[0]
     bi = block_i or pick_block(n_l, 256)
     bj = block_j or pick_block(n_l, 2048)
     assert n_l % bi == 0 and n_l % bj == 0, (n_l, bi, bj)
-    dtype = qx.dtype
+    dtype = dtype_in
     soft2 = float(soft) ** 2
 
     col = lambda a: a.reshape(-1, 1)
