@@ -175,21 +175,22 @@ def fit_initial_velocities(state0: BodyState, target_positions, *,
 
     vs = jnp.stack([state0.vx, state0.vy, state0.vz])
     vg = jax.jit(jax.value_and_grad(loss_fn))
-    losses = []
-    best = None
+    loss, g = vg(vs)
+    best, best_loss, best_g = vs, float(loss), g
+    losses = [best_loss]
     for k in range(iters):
-        loss, g = vg(vs)
-        if best is not None and float(loss) > losses[-1]:
-            # backtracking: reject the step, halve the rate, retry from best
-            lr *= 0.5
-            vs = best
-            continue
-        best = vs
-        vs = vs - lr * g
-        losses.append(float(loss))
         if verbose:
-            print(f"  iter {k:3d}  loss {losses[-1]:.6e}")
-    fitted = dataclasses.replace(state0, vx=vs[0], vy=vs[1], vz=vs[2])
+            print(f"  iter {k:3d}  loss {best_loss:.6e}")
+        cand = best - lr * best_g
+        loss, g = vg(cand)
+        # `<=` rejects NaN too (NaN comparisons are False): a diverged step
+        # backtracks instead of poisoning `best`
+        if float(loss) <= best_loss:
+            best, best_loss, best_g = cand, float(loss), g
+        else:
+            lr *= 0.5
+        losses.append(best_loss)
+    fitted = dataclasses.replace(state0, vx=best[0], vy=best[1], vz=best[2])
     return fitted, losses
 
 

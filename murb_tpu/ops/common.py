@@ -64,6 +64,23 @@ def BlockSpec(shape, index_map=None, **kw):
     return pl.BlockSpec(shape, index_map, **kw)
 
 
+def bsplit(x32, terms: int = 2):
+    """Dekker split of an fp32 array into ``terms`` bf16 parts summing (in
+    fp32) back to it: 2 terms ~ 16 mantissa bits, 3 terms exact (3x8-bit
+    mantissas cover fp32's 24).  MUST run inside a Pallas kernel: an
+    XLA-level split is folded away by the algebraic simplifier's
+    upcast-of-downcast elision (the CLAUDE.md `_bsplit` hazard); Mosaic
+    never folds in-kernel splits."""
+    parts = []
+    r = x32
+    for _ in range(terms - 1):
+        h = r.astype(jnp.bfloat16)
+        parts.append(h)
+        r = r - h.astype(jnp.float32)
+    parts.append(r.astype(jnp.bfloat16))
+    return tuple(parts)
+
+
 def f32_inputs(*arrays):
     """Round f64 arrays to fp32 in XLA before they enter a Pallas kernel:
     Mosaic has no f64 VMEM operands (measured: remote-compile failure on

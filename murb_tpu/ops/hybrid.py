@@ -57,20 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from murb_tpu.ops.common import Accel, BlockSpec, f32_inputs, pick_block
 
 
-def _bsplit(x32, terms: int):
-    """Dekker split of an fp32 array into ``terms`` bf16 parts summing (in
-    fp32) back to it; terms=3 is exact (3x8-bit mantissas cover fp32's 24).
-    MUST run inside the kernel: an XLA-level split is folded away by the
-    algebraic simplifier's upcast-of-downcast elision (see module notes /
-    CLAUDE.md); Mosaic never folds in-kernel splits."""
-    parts = []
-    r = x32
-    for _ in range(terms - 1):
-        h = r.astype(jnp.bfloat16)
-        parts.append(h)
-        r = r - h.astype(jnp.float32)
-    parts.append(r.astype(jnp.bfloat16))
-    return parts
+from murb_tpu.ops.common import bsplit as _bsplit  # in-kernel Dekker split
 
 
 def _hybrid_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, axo, ayo, azo, acc,

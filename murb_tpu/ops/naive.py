@@ -92,7 +92,19 @@ def acc_rect_jchunked(qxi, qyi, qzi, qxj, qyj, qzj, gmj, soft, *,
         from murb_tpu.ops.common import pick_block
 
         chunk = pick_block(nj, chunk)
-    assert nj % chunk == 0, (nj, chunk)
+    if nj % chunk != 0:
+        # nj has no power-of-two divisor >= 128: scan the divisible prefix,
+        # sweep the short tail with the plain broadcast, sum the halves
+        main = (nj // chunk) * chunk
+        sl = slice(main, nj)
+        tail = acc_rect(qxi, qyi, qzi, qxj[sl], qyj[sl], qzj[sl],
+                        gmj[sl], soft)
+        if main == 0:
+            return tail
+        head = acc_rect_jchunked(qxi, qyi, qzi, qxj[:main], qyj[:main],
+                                 qzj[:main], gmj[:main], soft, chunk=chunk)
+        return Accel(head.ax + tail.ax, head.ay + tail.ay,
+                     head.az + tail.az)
     dtype = qxi.dtype
     soft2 = jnp.asarray(soft, dtype) ** 2
     ni = qxi.shape[0]

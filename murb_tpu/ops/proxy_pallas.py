@@ -57,9 +57,11 @@ def _tj_nodes(m: int) -> np.ndarray:
 
 
 def _bsplit(x):
-    """bf16 hi/lo split: x == hi + lo to ~16 mantissa bits."""
-    hi = x.astype(jnp.bfloat16)
-    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """bf16 hi/lo split: x == hi + lo to ~16 mantissa bits (shared N-term
+    implementation: ops/common.bsplit)."""
+    from murb_tpu.ops.common import bsplit
+
+    return bsplit(x, 2)
 
 
 def dot3(a, b, *, tr_b: bool):
