@@ -55,7 +55,13 @@ def _bodies(n, scheme="galaxy"):
         from murb_tpu.core.init import init_milkyway_andromeda
 
         tab = "/tmp/murb_bench_mw_andromeda.tab"
-        if not os.path.exists(tab):
+        stale = False
+        if os.path.exists(tab):
+            import numpy as _np
+
+            # pre-scaled-units caches (model masses ~1e-5) must regenerate
+            stale = float(_np.loadtxt(tab, max_rows=1)[0]) < 1.0
+        if stale or not os.path.exists(tab):
             subprocess.run(
                 [sys.executable, "scripts/make_two_galaxy_tab.py", tab],
                 check=True, capture_output=True,
@@ -67,11 +73,12 @@ def _bodies(n, scheme="galaxy"):
 
 
 def measure(tag: str, steps: int, n: int = N, scheme: str = "galaxy",
-            warmup: int = 3, ret_engine: bool = False, **kw):
+            warmup: int = 3, ret_engine: bool = False,
+            soft: float = 2.0e8, dt: float = 3600.0, **kw):
     from murb_tpu.models import create_engine
 
     engine = create_engine(tag, _bodies(n, scheme),
-                           soft=2.0e8, dt=3600.0, **kw)
+                           soft=soft, dt=dt, **kw)
     engine.run(warmup)
     engine.block_until_ready()
     t0 = time.time()
@@ -88,7 +95,13 @@ def measure(tag: str, steps: int, n: int = N, scheme: str = "galaxy",
 
 def _cfg(engine) -> dict:
     """The measured-validated solver config a proxy engine settled on
-    (ops/validate escalation/descent off the static pick)."""
+    (ops/validate escalation/descent off the static pick).  When the
+    cost model rejects every fast config (e.g. the kpc-scale two-cluster
+    merger box, whose finest-cell requirement explodes the dense grid),
+    the engine runs the exact kernel and this records that honestly."""
+    if not getattr(engine, "using_proxy", True):
+        return {"engine": "exact fallback (cost model rejected the "
+                          "fast-solver configs for this box)"}
     return {
         "m": engine.m, "levels": engine.levels, "cells": engine.cells,
         "validated_err": (None if engine.validated_err is None
@@ -216,8 +229,10 @@ def main() -> None:
 
     # two-galaxy collision scheme (milkyway+andromeda IC family,
     # ref: Bodies.cpp two-galaxy tab loader): the production workload of
-    # the multi-galaxy tracking engine, benched on the plain proxy solver
-    # at the CLI-default physics (the demo_two_galaxies.sh configuration)
+    # the multi-galaxy tracking engine, benched on the plain proxy solver.
+    # In the .tab's scaled units (1 kpc -> 1e9 m) the CLI-default physics
+    # is merger-correct: soft=2e8 is 0.2 kpc, dt=3600 ~3% of a rotation
+    # period (make_two_galaxy_tab.py docstring).
     N_TWOGAL = 81_920
     fps_twogal, eng_twogal = measure("tpu+proxy", 300, n=N_TWOGAL,
                                      scheme="two_galaxies", warmup=10,

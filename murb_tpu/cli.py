@@ -51,6 +51,13 @@ def build_engine(cfg: MurbConfig):
     canonical = validate_tag(cfg.impl_tag)  # fail fast, before device work
     if cfg.precision == "fp64":
         jax.config.update("jax_enable_x64", True)
+    if "tracking" in canonical:
+        # Metrics in double, like the reference (ref: main.cpp:247-248):
+        # at merger-scale units the energy/|L| totals exceed fp32's range
+        # outright.  State stays the --precision dtype; the engines resolve
+        # metric_dtype=f64 when x64 is on (real on CPU, emulated on TPU --
+        # the Pallas kernels are x64-proof, ops/common.BlockSpec).
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.dtype(_DTYPES[cfg.precision])
     start_iteration = 0
     if cfg.load_state:

@@ -9,16 +9,59 @@ D2H every iteration, ref: SimulationNBodyCUDAPropertyTracking.cu:131).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from murb_tpu import G
 
 
+class MetricScales(NamedTuple):
+    """Static unit scales for dimensionless on-device metric reductions.
+
+    Device dtypes cannot hold merger-scale metric magnitudes: fp32 tops out
+    at ~3.4e38 and XLA:TPU's "f64" is double-single EMULATION -- full f64
+    precision but fp32 RANGE (measured: 1e20*1e20 -> nan on the chip).  At
+    the scaled-unit two-galaxy ICs (masses ~7e26 kg) the energy total is
+    ~1e41 and per-body m*(q x v) terms are ~4e42 -- unrepresentable on
+    device in any dtype.  So the reductions run on m/m0, q/q0, v/v0 and the
+    host multiplies the scale back in real float64
+    (``energy_scale`` / ``ang_momentum_scale``)."""
+
+    m0: float
+    q0: float
+    v0: float
+
+    @property
+    def energy_scale(self) -> float:
+        return self.m0 * self.v0 ** 2
+
+    @property
+    def ang_momentum_scale(self) -> float:
+        return self.m0 * self.q0 * self.v0
+
+
+UNIT_SCALES = MetricScales(1.0, 1.0, 1.0)
+
+
+def metric_scales(state) -> MetricScales:
+    """Host-side scales from a state's current magnitudes (masses are
+    constant in-run; position/velocity magnitudes are stable enough that
+    init-time scales keep every reduction far inside fp32 range)."""
+    import numpy as np
+
+    d = state.unpadded()
+    mx = lambda *ks: max(float(np.abs(d[k]).max()) for k in ks)
+    return MetricScales(max(mx("m"), 1.0), max(mx("qx", "qy", "qz"), 1.0),
+                        max(mx("vx", "vy", "vz"), 1.0))
+
+
 def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
                               out_dtype=jnp.float32,
                               method: str = "exact",
-                              proxy_m: int = 16) -> jax.Array:
+                              proxy_m: int = 16,
+                              scales: MetricScales = UNIT_SCALES) -> jax.Array:
     """PE_i = -m_i * sum_j Gm_j * rsqrt(|r_ij|^2 + eps^2), self-term removed.
 
     Mirrors the reference's tile sweep which includes j == i and then
@@ -37,7 +80,11 @@ def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
         sweep = potential_proxy(qx, qy, qz, gm, soft, m=proxy_m).astype(out_dtype)
         soft2 = jnp.asarray(soft, qx.dtype) ** 2
         self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
-        return -m.astype(out_dtype) * (sweep - self_term)
+        # two factors, never one tiny constant: 1/(m0*v0^2) can underflow
+        # the fp32-range emulated f64 on TPU (flushed to 0, measured)
+        im = jnp.asarray(1.0 / scales.m0, out_dtype)
+        iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
+        return -((m.astype(out_dtype) * im) * (sweep - self_term)) * iv2
     chunk = min(chunk, npad)
     if npad % chunk != 0:
         from murb_tpu.ops.common import pick_block
@@ -59,16 +106,22 @@ def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
 
     sweep = jax.lax.map(one_chunk, qi).reshape(npad)
     self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
-    return -m.astype(out_dtype) * (sweep - self_term)
+    im = jnp.asarray(1.0 / scales.m0, out_dtype)
+    iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
+    return -((m.astype(out_dtype) * im) * (sweep - self_term)) * iv2
 
 
-def kinetic_energy_per_body(m, vx, vy, vz, out_dtype=jnp.float32) -> jax.Array:
+def kinetic_energy_per_body(m, vx, vy, vz, out_dtype=jnp.float32,
+                            scales: MetricScales = UNIT_SCALES) -> jax.Array:
     v2 = (vx * vx + vy * vy + vz * vz).astype(out_dtype)
-    return m.astype(out_dtype) * v2
+    im = jnp.asarray(1.0 / scales.m0, out_dtype)
+    iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
+    return ((m.astype(out_dtype) * im) * v2) * iv2
 
 
 def total_energy(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
-                 method: str = "exact", proxy_m: int = 16):
+                 method: str = "exact", proxy_m: int = 16,
+                 scales: MetricScales = UNIT_SCALES):
     """E = sum_i (PE_i/2 + KE_i/2) with KE_i = m_i |v_i|^2 (the reference halves
     both: PE for double counting, KE for the 1/2 m v^2 factor, ref:
     SimulationNBodyCUDAPropertyTracking.cu:296-302)."""
@@ -76,20 +129,27 @@ def total_energy(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
         state.qx, state.qy, state.qz, state.m,
         jnp.asarray(G, state.dtype) * state.m, soft,
         chunk=chunk, out_dtype=out_dtype, method=method, proxy_m=proxy_m,
+        scales=scales,
     )
-    ke = kinetic_energy_per_body(state.m, state.vx, state.vy, state.vz, out_dtype)
+    ke = kinetic_energy_per_body(state.m, state.vx, state.vy, state.vz,
+                                 out_dtype, scales=scales)
     half = jnp.asarray(0.5, out_dtype)
     return jnp.sum(pe * half + ke * half)
 
 
-def angular_momentum(state, out_dtype=jnp.float32):
+def angular_momentum(state, out_dtype=jnp.float32,
+                     scales: MetricScales = UNIT_SCALES):
     """|sum_i m_i (q_i x v_i)| -- scalar magnitude, matching the reference's
     scalar ``angMomentums`` series (ref: src/common/core/SimulationHistory.hpp:14;
     the reference declares the GPU kernel via COMPUTE_ANGMOMENTUM_METRIC but
     never implements it -- this completes the capability)."""
-    m = state.m.astype(out_dtype)
-    qx, qy, qz = (a.astype(out_dtype) for a in (state.qx, state.qy, state.qz))
-    vx, vy, vz = (a.astype(out_dtype) for a in (state.vx, state.vy, state.vz))
+    m = state.m.astype(out_dtype) * jnp.asarray(1.0 / scales.m0, out_dtype)
+    iq = jnp.asarray(1.0 / scales.q0, out_dtype)
+    iv = jnp.asarray(1.0 / scales.v0, out_dtype)
+    qx, qy, qz = (a.astype(out_dtype) * iq
+                  for a in (state.qx, state.qy, state.qz))
+    vx, vy, vz = (a.astype(out_dtype) * iv
+                  for a in (state.vx, state.vy, state.vz))
     lx = jnp.sum(m * (qy * vz - qz * vy))
     ly = jnp.sum(m * (qz * vx - qx * vz))
     lz = jnp.sum(m * (qx * vy - qy * vx))
@@ -101,10 +161,11 @@ def angular_momentum(state, out_dtype=jnp.float32):
     return s * jnp.sqrt(nx * nx + ny * ny + nz * nz)
 
 
-def density_center(state, out_dtype=jnp.float32):
+def density_center(state, out_dtype=jnp.float32,
+                   scales: MetricScales = UNIT_SCALES):
     """Mass-weighted mean position, shape (3,) (ref data model:
     src/common/core/SimulationHistory.hpp:15 ``densityCenters``)."""
-    m = state.m.astype(out_dtype)
+    m = state.m.astype(out_dtype) * jnp.asarray(1.0 / scales.m0, out_dtype)
     total = jnp.maximum(jnp.sum(m), jnp.asarray(1e-30, out_dtype))
     return jnp.stack([
         jnp.sum(m * state.qx.astype(out_dtype)) / total,
@@ -113,22 +174,27 @@ def density_center(state, out_dtype=jnp.float32):
     ])
 
 
-def energy_from_phi(state, phi, soft, out_dtype=jnp.float32):
+def energy_from_phi(state, phi, soft, out_dtype=jnp.float32,
+                    scales: MetricScales = UNIT_SCALES):
     """Total energy given a precomputed potential sweep phi_i = sum_j Gm_j *
     rsqrt(d^2+eps^2) (self term included; compensated here exactly like the
     reference kernel).  Used by the fused proxy tracking path."""
     gm = jnp.asarray(G, state.dtype) * state.m
     soft2 = jnp.asarray(soft, state.dtype) ** 2
     self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
-    pe = -state.m.astype(out_dtype) * (phi.astype(out_dtype) - self_term)
+    im = jnp.asarray(1.0 / scales.m0, out_dtype)
+    iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
+    pe = -((state.m.astype(out_dtype) * im)
+           * (phi.astype(out_dtype) - self_term)) * iv2
     ke = kinetic_energy_per_body(state.m, state.vx, state.vy, state.vz,
-                                 out_dtype)
+                                 out_dtype, scales=scales)
     half = jnp.asarray(0.5, out_dtype)
     return jnp.sum(pe * half + ke * half)
 
 
 def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
-                mask=None, method: str = "exact", proxy_m: int = 16):
+                mask=None, method: str = "exact", proxy_m: int = 16,
+                scales: MetricScales = UNIT_SCALES):
     """(energy, angular momentum, density center) fused in one jitted call --
     the analogue of COMPUTE_ALL_METRIC (ref:
     SimulationNBodyCUDAPropertyTracking.cu:4-7).
@@ -144,7 +210,7 @@ def all_metrics(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
         state = dataclasses.replace(state, m=state.m * mask.astype(state.dtype))
     return (
         total_energy(state, soft, chunk=chunk, out_dtype=out_dtype,
-                     method=method, proxy_m=proxy_m),
-        angular_momentum(state, out_dtype),
-        density_center(state, out_dtype),
+                     method=method, proxy_m=proxy_m, scales=scales),
+        angular_momentum(state, out_dtype, scales=scales),
+        density_center(state, out_dtype, scales=scales),
     )

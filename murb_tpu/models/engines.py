@@ -35,6 +35,17 @@ from murb_tpu.ops.common import Accel
 from murb_tpu.ops.naive import acc_chunked, acc_naive
 
 
+def _resolve_metric_dtype(metric_dtype):
+    """Default metric dtype: f64 whenever the platform provides it (x64
+    enabled -- real on CPU, emulated on XLA:TPU), else fp32.  The reference
+    computes its metrics in double (ref: main.cpp:247-248); at merger-scale
+    units (masses ~1e26 kg) the energy/|L| totals exceed fp32's range
+    entirely, so fp32 metrics are a fallback, not the default."""
+    if metric_dtype is not None:
+        return metric_dtype
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def _check_m2l_dots(tier: str) -> str:
     """Validate an FMM level-sweep matmul tier (see ops/fmm.fmm_field_grid)."""
     if tier not in ("fp32", "mixed", "bf16x3"):
@@ -60,13 +71,17 @@ def _fused_force_phi(qx, qy, qz, gm, soft, fused_proxy_m, fused_fmm,
     return force_and_potential_proxy(qx, qy, qz, gm, soft, m=fused_proxy_m)
 
 
-def _phi_metrics(state, phi, soft, out_dtype):
+def _phi_metrics(state, phi, soft, out_dtype, scales=None):
     """(energy, |L|, density center) with the potential already in hand --
-    what the fused force+potential pass buys: no second O(N*m^3) sweep."""
+    what the fused force+potential pass buys: no second O(N*m^3) sweep.
+    ``scales``: dimensionless-reduction unit scales (metrics.MetricScales);
+    the engine multiplies them back in host float64."""
+    scales = scales or metrics_mod.UNIT_SCALES
     return (
-        metrics_mod.energy_from_phi(state, phi, soft, out_dtype),
-        metrics_mod.angular_momentum(state, out_dtype),
-        metrics_mod.density_center(state, out_dtype),
+        metrics_mod.energy_from_phi(state, phi, soft, out_dtype,
+                                    scales=scales),
+        metrics_mod.angular_momentum(state, out_dtype, scales=scales),
+        metrics_mod.density_center(state, out_dtype, scales=scales),
     )
 
 
@@ -763,7 +778,7 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
 
     def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
                  history: SimulationHistory | None = None, acc_fn=None,
-                 metric_dtype=jnp.float32, metrics_method: str = "exact",
+                 metric_dtype=None, metrics_method: str = "exact",
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
                  fused_fmm: tuple = (), m2l_dots: str = "fp32",
                  validated_half: float | None = None, **kw):
@@ -772,7 +787,7 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         self.history = history or SimulationHistory(num_iterations)
         if self.history.num_iterations < num_iterations:
             self.history.set_num_iterations(num_iterations)
-        self._metric_dtype = metric_dtype
+        self._metric_dtype = _resolve_metric_dtype(metric_dtype)
         self._metrics_method = metrics_method
         self._metrics_proxy_m = metrics_proxy_m
         if fused_proxy_m and fused_fmm:
@@ -781,11 +796,13 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
         self._m2l_dots = _check_m2l_dots(m2l_dots)
         self._validated_half = validated_half
+        self._mscales = metrics_mod.metric_scales(self._state)
 
     def _metrics(self, state):
         return metrics_mod.all_metrics(
             state, self.soft, out_dtype=self._metric_dtype,
             method=self._metrics_method, proxy_m=self._metrics_proxy_m,
+            scales=self._mscales,
         )
 
     def _phase_force_mets(self, px, py, pz, gm, finish):
@@ -799,7 +816,8 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
             )
             ns, na = finish(acc)
             return ns, na, acc, _phi_metrics(ns, phi, self.soft,
-                                             self._metric_dtype)
+                                             self._metric_dtype,
+                                             self._mscales)
         acc = self._acc_fn(px, py, pz, gm)
         ns, na = finish(acc)
         return ns, na, acc, self._metrics(ns)
@@ -841,8 +859,10 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         if i >= self.history.num_iterations:
             return
         e, l, dc = mets
-        self.history.set_energy_at(i, float(e))
-        self.history.set_ang_momentum_at(i, float(l))
+        self.history.set_energy_at(
+            i, float(e) * self._mscales.energy_scale)
+        self.history.set_ang_momentum_at(
+            i, float(l) * self._mscales.ang_momentum_scale)
         self.history.set_density_center_at(i, jax.device_get(dc))
 
     def compute_one_iteration(self):
@@ -922,7 +942,7 @@ class TrackingEngine(EulerAccelEngine):
 
     def __init__(self, bodies, soft=None, dt=None, *, num_iterations: int,
                  history: SimulationHistory | None = None, acc_fn=None,
-                 metric_dtype=jnp.float32, metrics_method: str = "exact",
+                 metric_dtype=None, metrics_method: str = "exact",
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
                  fused_fmm: tuple = (), m2l_dots: str = "fp32",
                  validated_half: float | None = None, **kw):
@@ -943,7 +963,7 @@ class TrackingEngine(EulerAccelEngine):
         if self.history.num_iterations < num_iterations:
             self.history.set_num_iterations(num_iterations)
         self._acc = acc_fn
-        self._metric_dtype = metric_dtype
+        self._metric_dtype = _resolve_metric_dtype(metric_dtype)
         self._metrics_method = metrics_method
         self._metrics_proxy_m = metrics_proxy_m
         self._fused_proxy_m = fused_proxy_m
@@ -952,6 +972,7 @@ class TrackingEngine(EulerAccelEngine):
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
         self._m2l_dots = _check_m2l_dots(m2l_dots)
         self._validated_half = validated_half
+        self._mscales = metrics_mod.metric_scales(self._state)
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):
@@ -962,6 +983,7 @@ class TrackingEngine(EulerAccelEngine):
         return metrics_mod.all_metrics(
             state, self.soft, out_dtype=self._metric_dtype,
             method=self._metrics_method, proxy_m=self._metrics_proxy_m,
+            scales=self._mscales,
         )
 
     def _step_with_metrics(self, state):
@@ -975,7 +997,8 @@ class TrackingEngine(EulerAccelEngine):
                 state.qx, state.qy, state.qz, self._gm(state), self.soft,
                 self._fused_proxy_m, self._fused_fmm, self._m2l_dots,
             )
-            mets = _phi_metrics(state, phi, self.soft, self._metric_dtype)
+            mets = _phi_metrics(state, phi, self.soft, self._metric_dtype,
+                                self._mscales)
         else:
             acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
             mets = self._metrics(state)
@@ -1001,8 +1024,10 @@ class TrackingEngine(EulerAccelEngine):
         self._state, self._last_acc, (e, l, dc) = self._tracked_step(self._state)
         i = self._iteration
         if i < self.history.num_iterations:
-            self.history.set_energy_at(i, float(e))
-            self.history.set_ang_momentum_at(i, float(l))
+            self.history.set_energy_at(
+                i, float(e) * self._mscales.energy_scale)
+            self.history.set_ang_momentum_at(
+                i, float(l) * self._mscales.ang_momentum_scale)
             self.history.set_density_center_at(i, jax.device_get(dc))
         self._iteration += 1
 
@@ -1052,8 +1077,10 @@ class TrackingEngine(EulerAccelEngine):
         hi = self.history.num_iterations
         for k in range(min(n_iterations, len(es))):
             if i0 + k < hi:
-                self.history.set_energy_at(i0 + k, float(es[k]))
-                self.history.set_ang_momentum_at(i0 + k, float(ls[k]))
+                self.history.set_energy_at(
+                    i0 + k, float(es[k]) * self._mscales.energy_scale)
+                self.history.set_ang_momentum_at(
+                    i0 + k, float(ls[k]) * self._mscales.ang_momentum_scale)
                 self.history.set_density_center_at(i0 + k, dcs[k])
         self._last_acc = None  # not materialized on the loop fast path
         self._iteration += n_iterations
@@ -1103,7 +1130,8 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
             metrics_mod.all_metrics(state, self.soft,
                                     out_dtype=self._metric_dtype, mask=m,
                                     method=self._metrics_method,
-                                    proxy_m=self._metrics_proxy_m)
+                                    proxy_m=self._metrics_proxy_m,
+                                    scales=self._mscales)
             for m in self.masks
         ]
         es = jnp.stack([g[0] for g in per_gal])
@@ -1115,8 +1143,10 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
         if i >= self.history.num_iterations:
             return
         for g, gal in enumerate(self.history.galaxies):
-            gal.set_energy_at(i, float(es[g]))
-            gal.set_ang_momentum_at(i, float(ls[g]))
+            gal.set_energy_at(
+                i, float(es[g]) * self._mscales.energy_scale)
+            gal.set_ang_momentum_at(
+                i, float(ls[g]) * self._mscales.ang_momentum_scale)
             gal.set_density_center_at(i, jax.device_get(dcs[g]))
 
     def compute_one_iteration(self):

@@ -15,6 +15,9 @@ echo "== 1. generate initial conditions (81,920 bodies)"
 python scripts/make_two_galaxy_tab.py "$OUT/milkyway_andromeda.tab"
 
 echo "== 2. simulate with per-galaxy tracking + trajectory recording"
+# CLI-default physics IS merger-correct in the .tab's scaled units
+# (1 kpc |-> 1e9 m: soft=2e8 is 0.2 kpc, dt=3600 is ~3% of a rotation
+# period; see make_two_galaxy_tab.py docstring)
 python -m murb_tpu -n 81920 -i "$I" -s mw+andromeda \
   --scheme-file "$OUT/milkyway_andromeda.tab" \
   --im gpu+tracking+multi --nv --gf -v \

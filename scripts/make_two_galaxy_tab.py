@@ -13,8 +13,28 @@ mass), laid out in the exact index structure the loader's rescaler expects
     [49152  , 65536) MW halo        [65536 , 81920) Andromeda halo
 
 Each component: exponential disk (rotating), Hernquist-like bulge, and an
-isothermal-ish halo, all sampled in model units so the loader's per-galaxy
-scale factors (mass / R_d / V_c) produce physical values.
+isothermal-ish halo, all sampled in model units.
+
+**Units.** The loader multiplies each row by the reference's dimensionless
+per-galaxy factors -- mass 4.5e10 / 9.4e10 ("Msun"), R_d 4.0 / 6.0
+("kpc"), V_c 220 / 260 ("km/s") (ref: Bodies.cpp:125-139) -- while the
+simulator's G, dt and soft are SI-valued.  The reference never shipped the
+file, so the unit convention must be reconstructed, under two constraints:
+
+  1. fp32 state: positions enter d^2 = |r|^2 sums, so |q| must stay below
+     ~1e19 or the distance algebra overflows fp32 (true-SI kpc scales,
+     |q| ~ 1e21 m, blow up -- measured: NaN positions within 100 steps).
+  2. The simulator's G is SI and the CLI defaults are soft=2e8, dt=3600
+     (ref: main.cpp:45-47).
+
+Both are satisfied by the scaled system 1 kpc |-> KPC_SIM = 1e9 m with the
+mass unit chosen so the rotation curve is physical: v_c^2 = G M_gal / R
+at R = 4 "kpc" with v_c = 220 "km/s" = 2.2e5 m/s gives
+M_sun |-> MSUN_SIM = v_c^2 R / (G * 4.5e10) ~ 2e19 kg.  In these units the
+CLI-default soft = 2e8 is exactly 0.2 kpc (a standard galactic softening)
+and dt = 3600 s is ~3% of the disk rotation period -- i.e. the reference's
+own defaults are merger-correct, which is presumably the intended design.
+The 200-"kpc" infall closes in ~500 default steps.
 
 Usage: python scripts/make_two_galaxy_tab.py [out.tab] [--seed 1]
 """
@@ -23,6 +43,13 @@ import sys
 import numpy as np
 
 DISK, BULGE, HALO = 16384, 8192, 16384
+
+G_SI = 6.67384e-11
+KPC_SIM = 1.0e9                 # simulation meters per "kpc"
+KMS_MS = 1.0e3                  # m/s per "km/s"
+# v_c^2 R / (G * M_disk_scale): flat-curve consistency at R_d with the
+# loader's MW factors (4.5e10, 4.0, 220)
+MSUN_SIM = (220.0 * KMS_MS) ** 2 * (4.0 * KPC_SIM) / (G_SI * 4.5e10)
 
 
 def sample_disk(rng, n):
@@ -90,7 +117,7 @@ def main() -> int:
     order = [g1[0], g2[0], g1[1], g2[1], g1[2], g2[2]]
     rows = []
     for m, q, v in order:
-        rows.append(np.column_stack([m, q, v]))
+        rows.append(np.column_stack([m * MSUN_SIM, q * KPC_SIM, v * KMS_MS]))
     table = np.concatenate(rows)
     np.savetxt(out, table, fmt="%.8g")
     print(f"wrote {out}: {table.shape[0]} bodies "
