@@ -302,3 +302,42 @@ def test_leapfrog_tracking_repad_invariance():
                                rtol=1e-6)
     np.testing.assert_allclose(b.bodies.unpadded()["qx"],
                                a.bodies.unpadded()["qx"], rtol=1e-6)
+
+
+def test_metrics_survive_merger_scale_magnitudes():
+    """Merger-scale states (masses ~1e26 kg, |L| ~ 1e47) exceed fp32's
+    range AND the TPU's double-single f64 emulation's range (f64 precision,
+    fp32 range).  The scaled-reduction path (metrics.MetricScales) must
+    return finite, numpy-f64-correct values anyway."""
+    import jax.numpy as jnp
+
+    from murb_tpu.core.state import BodyState
+
+    rng = np.random.RandomState(7)
+    n = 256
+    m = rng.uniform(1e25, 7e26, n)
+    q = rng.uniform(-4e11, 4e11, (n, 3))
+    v = rng.uniform(-5e5, 5e5, (n, 3))
+    s = BodyState.from_arrays(m, np.zeros(n), q[:, 0], q[:, 1], q[:, 2],
+                              v[:, 0], v[:, 1], v[:, 2], n=n)
+    sc = metrics.metric_scales(s)
+    soft = 2.0e8
+
+    e, l, dc = metrics.all_metrics(s, soft, out_dtype=jnp.float64, scales=sc)
+    e_true = float(e) * sc.energy_scale
+    l_true = float(l) * sc.ang_momentum_scale
+
+    # numpy float64 reference
+    G64 = np.float64(6.67384e-11)
+    d = q[:, None, :] - q[None, :, :]
+    inv = 1.0 / np.sqrt((d ** 2).sum(-1) + soft ** 2)
+    pe = -(m * (G64 * m[None, :] * inv).sum(1) - m * G64 * m / soft)
+    ke = m * (v ** 2).sum(1)
+    e_np = 0.5 * (pe + ke).sum()
+    l_np = np.linalg.norm((m[:, None] * np.cross(q, v)).sum(0))
+
+    assert np.isfinite(e_true) and np.isfinite(l_true)
+    assert abs(l_true) > 1e40  # genuinely beyond fp32/emulated-f64 range
+    assert e_true == pytest.approx(e_np, rel=1e-4)
+    assert l_true == pytest.approx(l_np, rel=1e-4)
+    assert np.all(np.isfinite(np.asarray(dc)))
