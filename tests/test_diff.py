@@ -124,3 +124,29 @@ def test_fit_initial_velocities_descends():
     _, losses = fit_initial_velocities(s, target, steps=8, dt=DT, soft=SOFT,
                                        iters=25)
     assert losses[-1] < 0.05 * losses[0], (losses[0], losses[-1])
+
+
+def test_rollout_integrator_options():
+    """kdk/yoshida4 rollouts integrate the same flow (trajectories agree
+    with Euler at small dt) and remain differentiable."""
+    s = _state(n=48, seed=8)
+    target = np.stack([np.asarray(s.qx), np.asarray(s.qy),
+                       np.asarray(s.qz)], 1)[: s.n]
+    outs = {}
+    for integ in ("euler", "kdk", "yoshida4"):
+        outs[integ] = rollout(s, steps=4, dt=DT, soft=SOFT,
+                              integrator=integ)
+
+        def loss(vx, integ=integ):
+            st = dataclasses.replace(s, vx=vx)
+            return target_loss(
+                rollout(st, steps=4, dt=DT, soft=SOFT, integrator=integ),
+                target)
+
+        g = jax.grad(loss)(s.vx)
+        assert np.all(np.isfinite(np.asarray(g))), integ
+        assert float(jnp.abs(g[: s.n]).max()) > 0, integ
+    assert_within_rel(np.asarray(outs["kdk"].qx), np.asarray(outs["euler"].qx),
+                      1e-6, "kdk vs euler")
+    assert_within_rel(np.asarray(outs["yoshida4"].qx),
+                      np.asarray(outs["kdk"].qx), 1e-6, "y4 vs kdk")
