@@ -54,14 +54,10 @@ def _bodies(n, scheme="galaxy"):
 
         from murb_tpu.core.init import init_milkyway_andromeda
 
-        tab = "/tmp/murb_bench_mw_andromeda.tab"
-        stale = False
-        if os.path.exists(tab):
-            import numpy as _np
-
-            # pre-scaled-units caches (model masses ~1e-5) must regenerate
-            stale = float(_np.loadtxt(tab, max_rows=1)[0]) < 1.0
-        if stale or not os.path.exists(tab):
+        # version-suffixed cache path: any future unit-system change bumps
+        # the suffix instead of guessing staleness from file contents
+        tab = "/tmp/murb_bench_mw_andromeda_v2.tab"
+        if not os.path.exists(tab):
             subprocess.run(
                 [sys.executable, "scripts/make_two_galaxy_tab.py", tab],
                 check=True, capture_output=True,
@@ -99,14 +95,17 @@ def _cfg(engine) -> dict:
     cost model rejects every fast config (e.g. the kpc-scale two-cluster
     merger box, whose finest-cell requirement explodes the dense grid),
     the engine runs the exact kernel and this records that honestly."""
-    if not getattr(engine, "using_proxy", True):
-        return {"engine": "exact fallback (cost model rejected the "
-                          "fast-solver configs for this box)"}
-    return {
+    cfg = {
         "m": engine.m, "levels": engine.levels, "cells": engine.cells,
         "validated_err": (None if engine.validated_err is None
                           else f"{engine.validated_err:.2e}"),
     }
+    if not getattr(engine, "using_proxy", True):
+        # keep the m/levels keys (downstream rows index them) but flag it
+        cfg["exact_fallback"] = ("cost model rejected the fast-solver "
+                                 "configs for this box")
+        cfg["validated_err"] = None
+    return cfg
 
 
 def force_error(n: int, scheme: str, acc_fn, sample: int = 4096,

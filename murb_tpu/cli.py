@@ -51,13 +51,12 @@ def build_engine(cfg: MurbConfig):
     canonical = validate_tag(cfg.impl_tag)  # fail fast, before device work
     if cfg.precision == "fp64":
         jax.config.update("jax_enable_x64", True)
-    if "tracking" in canonical:
-        # Metrics in double, like the reference (ref: main.cpp:247-248):
-        # at merger-scale units the energy/|L| totals exceed fp32's range
-        # outright.  State stays the --precision dtype; the engines resolve
-        # metric_dtype=f64 when x64 is on (real on CPU, emulated on TPU --
-        # the Pallas kernels are x64-proof, ops/common.BlockSpec).
-        jax.config.update("jax_enable_x64", True)
+    # Tracking metrics need no dtype escalation: the dimensionless-reduction
+    # scales (core/metrics.MetricScales) keep fp32 range-safe at any state
+    # magnitude, and forcing x64 here would put the O(N^2) exact metrics
+    # sweep on TPU's ~10x emulated-f64 path (and stop load_state resumes
+    # from downcasting f64 checkpoints to the --precision dtype).  f64
+    # metrics remain available via --precision fp64 / metric_dtype.
     dtype = jnp.dtype(_DTYPES[cfg.precision])
     start_iteration = 0
     if cfg.load_state:

@@ -57,6 +57,15 @@ def metric_scales(state) -> MetricScales:
                         max(mx("vx", "vy", "vz"), 1.0))
 
 
+def _scaled_energy(m, per_body, scales, out_dtype):
+    """(m/m0) * per_body / v0^2 -- the shared energy-unit reduction form.
+    TWO factors, never one fused constant: 1/(m0*v0^2) itself underflows
+    the fp32-range emulated f64 on TPU (flushed to 0, measured)."""
+    im = jnp.asarray(1.0 / scales.m0, out_dtype)
+    iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
+    return ((m.astype(out_dtype) * im) * per_body) * iv2
+
+
 def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
                               out_dtype=jnp.float32,
                               method: str = "exact",
@@ -80,11 +89,7 @@ def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
         sweep = potential_proxy(qx, qy, qz, gm, soft, m=proxy_m).astype(out_dtype)
         soft2 = jnp.asarray(soft, qx.dtype) ** 2
         self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
-        # two factors, never one tiny constant: 1/(m0*v0^2) can underflow
-        # the fp32-range emulated f64 on TPU (flushed to 0, measured)
-        im = jnp.asarray(1.0 / scales.m0, out_dtype)
-        iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
-        return -((m.astype(out_dtype) * im) * (sweep - self_term)) * iv2
+        return -_scaled_energy(m, sweep - self_term, scales, out_dtype)
     chunk = min(chunk, npad)
     if npad % chunk != 0:
         from murb_tpu.ops.common import pick_block
@@ -106,17 +111,17 @@ def potential_energy_per_body(qx, qy, qz, m, gm, soft, *, chunk: int = 1024,
 
     sweep = jax.lax.map(one_chunk, qi).reshape(npad)
     self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
-    im = jnp.asarray(1.0 / scales.m0, out_dtype)
-    iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
-    return -((m.astype(out_dtype) * im) * (sweep - self_term)) * iv2
+    return -_scaled_energy(m, sweep - self_term, scales, out_dtype)
 
 
 def kinetic_energy_per_body(m, vx, vy, vz, out_dtype=jnp.float32,
                             scales: MetricScales = UNIT_SCALES) -> jax.Array:
-    v2 = (vx * vx + vy * vy + vz * vz).astype(out_dtype)
+    # scale v BEFORE squaring so |v| up to fp32-max stays in range; the
+    # result (m/m0)*(v/v0)^2 is already in energy units of m0*v0^2
+    iv = jnp.asarray(1.0 / scales.v0, out_dtype)
     im = jnp.asarray(1.0 / scales.m0, out_dtype)
-    iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
-    return ((m.astype(out_dtype) * im) * v2) * iv2
+    vx, vy, vz = (a.astype(out_dtype) * iv for a in (vx, vy, vz))
+    return (m.astype(out_dtype) * im) * (vx * vx + vy * vy + vz * vz)
 
 
 def total_energy(state, soft, *, chunk: int = 1024, out_dtype=jnp.float32,
@@ -182,10 +187,8 @@ def energy_from_phi(state, phi, soft, out_dtype=jnp.float32,
     gm = jnp.asarray(G, state.dtype) * state.m
     soft2 = jnp.asarray(soft, state.dtype) ** 2
     self_term = gm.astype(out_dtype) * jax.lax.rsqrt(soft2).astype(out_dtype)
-    im = jnp.asarray(1.0 / scales.m0, out_dtype)
-    iv2 = jnp.asarray(1.0 / scales.v0 ** 2, out_dtype)
-    pe = -((state.m.astype(out_dtype) * im)
-           * (phi.astype(out_dtype) - self_term)) * iv2
+    pe = -_scaled_energy(state.m, phi.astype(out_dtype) - self_term,
+                         scales, out_dtype)
     ke = kinetic_energy_per_body(state.m, state.vx, state.vy, state.vz,
                                  out_dtype, scales=scales)
     half = jnp.asarray(0.5, out_dtype)

@@ -328,7 +328,7 @@ def test_metrics_survive_merger_scale_magnitudes():
     l_true = float(l) * sc.ang_momentum_scale
 
     # numpy float64 reference
-    G64 = np.float64(6.67384e-11)
+    G64 = np.float64(G)
     d = q[:, None, :] - q[None, :, :]
     inv = 1.0 / np.sqrt((d ** 2).sum(-1) + soft ** 2)
     pe = -(m * (G64 * m[None, :] * inv).sum(1) - m * G64 * m / soft)
