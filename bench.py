@@ -171,6 +171,9 @@ def main() -> None:
         "mxu": measure("tpu+mxu", 8),
         "hybrid_1pass": measure("tpu+hybrid+fast", 10),
         "hybrid_2pass": measure("tpu+hybrid", 10),
+        # extended tier: exact-fp32 bf16x3 operands + Kahan blocks
+        # (5.8e-7 measured max force err; the `double` analogue)
+        "hybrid_3pass": measure("tpu+hybrid+x3", 10),
     }
     fps_exact = ladder["hybrid_2pass"]
 
