@@ -273,6 +273,24 @@ def main(argv=None) -> int:
             d = engine.bodies.unpadded()
             traj.append(i_ite, d["qx"], d["qy"], d["qz"])
 
+    ckpt_writer = None
+    if cfg.save_every > 0:
+        if not cfg.save_state:
+            print("--save-every requires --save-state", file=sys.stderr)
+            return 1
+        from murb_tpu.core.checkpoint import AsyncCheckpointWriter
+
+        ckpt_writer = AsyncCheckpointWriter(cfg.save_state)
+
+    def checkpoint(i_ite: int) -> None:
+        """Async periodic checkpoint at --save-every boundaries (atomic,
+        write-behind; the frame loop never blocks on disk)."""
+        if (ckpt_writer is not None and i_ite > 0
+                and i_ite % cfg.save_every == 0):
+            ckpt_writer.save(engine.bodies,
+                             iteration=start_iteration + i_ite,
+                             dt=engine.dt, soft=engine.soft)
+
     record(0, force=True)  # frame 0 = the initial conditions
 
     if cfg.scan and cfg.n_iterations > 0:
@@ -287,7 +305,18 @@ def main(argv=None) -> int:
             engine.block_until_ready()
         timed = cfg.n_iterations - warm
         perf_total.start()
-        if traj is None:
+        if traj is None and ckpt_writer is not None:
+            # segment the single-dispatch run on checkpoint boundaries
+            current = warm
+            for target in range(cfg.save_every, cfg.n_iterations + 1,
+                                cfg.save_every):
+                if target > current:
+                    engine.run(target - current)
+                    current = target
+                checkpoint(target)
+            if current < cfg.n_iterations:
+                engine.run(cfg.n_iterations - current)
+        elif traj is None:
             engine.run(timed)
         else:
             # advance in segments that land exactly on the record points
@@ -298,6 +327,7 @@ def main(argv=None) -> int:
                     engine.run(target - current)
                     current = target
                 record(target, force=True)
+                checkpoint(target)
             if current < cfg.n_iterations:
                 engine.run(cfg.n_iterations - current)
         engine.block_until_ready()
@@ -356,6 +386,7 @@ def main(argv=None) -> int:
             physic_time += engine.dt * k
             n_done = n_run = i_ite
             record(i_ite)
+            checkpoint(i_ite)
             if cfg.check_finite:
                 engine.assert_finite()
 
@@ -413,10 +444,17 @@ def main(argv=None) -> int:
     if cfg.save_state:
         from murb_tpu.core.checkpoint import save_state
 
+        if ckpt_writer is not None:
+            ckpt_writer.flush()  # never race the final synchronous write
         save_state(cfg.save_state, engine.bodies,
                    iteration=start_iteration + n_run,
                    dt=engine.dt, soft=engine.soft)
-        print(f"State checkpoint written to {cfg.save_state}")
+        extra = ""
+        if ckpt_writer is not None:
+            extra = (f" ({ckpt_writer.written} periodic"
+                     + (f", {ckpt_writer.skipped} skipped while busy"
+                        if ckpt_writer.skipped else "") + ")")
+        print(f"State checkpoint written to {cfg.save_state}{extra}")
 
     return 0
 

@@ -114,3 +114,59 @@ def load_state(path: str) -> tuple[BodyState, dict]:
             n=int(z["n"]), padding=int(z["padding"]), **arrays
         )
     return state, meta
+
+
+class AsyncCheckpointWriter:
+    """Write-behind periodic checkpointing for long runs (``--save-every``).
+
+    The frame loop must never block on disk: ``save`` snapshots the state to
+    host (the one unavoidable device sync), then compresses and writes in a
+    daemon thread (zlib releases the GIL).  The write is ATOMIC -- a ``.tmp``
+    file renamed over the target -- so preemption mid-write never corrupts
+    the resume file (the whole point of periodic checkpoints).  At most one
+    write is in flight; a snapshot arriving while the disk is still busy is
+    skipped and counted rather than queued (the next interval retries).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._thread = None
+        self.written = 0
+        self.skipped = 0
+
+    def save(self, state: BodyState, *, iteration: int, dt: float,
+             soft: float) -> bool:
+        """Snapshot + schedule the write; False if skipped (write busy)."""
+        if self._thread is not None and self._thread.is_alive():
+            self.skipped += 1
+            return False
+        import threading
+
+        payload = {k: np.asarray(getattr(state, k)) for k in _ARRAYS}
+        payload.update(
+            __version__=np.int64(FORMAT_VERSION),
+            n=np.int64(state.n),
+            padding=np.int64(state.padding),
+            iteration=np.int64(iteration),
+            dt=np.float64(dt),
+            soft=np.float64(soft),
+        )
+        self._thread = threading.Thread(
+            target=self._write, args=(payload,), daemon=True)
+        self._thread.start()
+        return True
+
+    def _write(self, payload: dict) -> None:
+        import os
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **payload)
+        os.replace(tmp, self.path)
+        self.written += 1
+
+    def flush(self) -> None:
+        """Block until any in-flight write has landed (call before a final
+        synchronous save_state to the same path)."""
+        if self._thread is not None:
+            self._thread.join()

@@ -42,6 +42,7 @@ class MurbConfig:
     gpu_fraction: float | None = None        # hetero-style uneven shard knob
     list_impls: bool = False
     save_state: str | None = None            # checkpoint path written at end
+    save_every: int = 0                      # async periodic checkpoint interval
     load_state: str | None = None            # resume from checkpoint
     profile: str | None = None               # jax.profiler trace directory
     dump_traj: str | None = None             # binary trajectory output path
@@ -136,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="list available implementation tags and exit.")
     ext.add_argument("--save-state", dest="save_state", type=str, default=None,
                      help="write a state checkpoint (.npz) when the run ends.")
+    ext.add_argument("--save-every", dest="save_every", type=int, default=0,
+                     help="also checkpoint to --save-state every K iterations "
+                          "(asynchronous write-behind, atomic rename; the "
+                          "preemption-safety knob for long runs).")
     ext.add_argument("--load-state", dest="load_state", type=str, default=None,
                      help="resume from a state checkpoint instead of -s scheme.")
     ext.add_argument("--profile", type=str, default=None,

@@ -111,3 +111,40 @@ def test_orbax_roundtrip(tmp_path):
     assert s2.n == s.n and s2.padding == s.padding
     np.testing.assert_array_equal(np.asarray(s2.qx), np.asarray(s.qx))
     assert meta["iteration"] == 3 and meta["dt"] == 1800.0
+
+
+def test_async_checkpoint_writer(tmp_path):
+    """Write-behind periodic checkpointing: the written file resumes
+    exactly, the write is atomic (no .tmp survivor), and busy-skip
+    accounting works."""
+    from murb_tpu.core.checkpoint import AsyncCheckpointWriter, load_state
+    from murb_tpu.core.init import init_random
+
+    s = init_random(256, 3)
+    path = str(tmp_path / "run.npz")
+    w = AsyncCheckpointWriter(path)
+    assert w.save(s, iteration=7, dt=1800.0, soft=1e8)
+    w.flush()
+    assert w.written == 1 and not (tmp_path / "run.npz.tmp").exists()
+    restored, meta = load_state(path)
+    assert int(meta["iteration"]) == 7 and float(meta["dt"]) == 1800.0
+    np.testing.assert_array_equal(np.asarray(restored.qx), np.asarray(s.qx))
+
+
+def test_cli_save_every_periodic(tmp_path):
+    """--save-every K writes a resumable checkpoint mid-run and the final
+    synchronous save still lands (flush-before-overwrite)."""
+    from murb_tpu.cli import main
+    from murb_tpu.core.checkpoint import load_state
+
+    path = str(tmp_path / "p.npz")
+    rc = main(["-n", "300", "-i", "6", "--im", "cpu+optim", "--nv",
+               "--save-state", path, "--save-every", "2"])
+    assert rc == 0
+    _, meta = load_state(path)
+    assert int(meta["iteration"]) == 6  # the final save wins
+
+    # --save-every without --save-state is a clean error
+    rc = main(["-n", "300", "-i", "2", "--im", "cpu+optim", "--nv",
+               "--save-every", "2"])
+    assert rc == 1
