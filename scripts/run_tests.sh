@@ -11,6 +11,7 @@ python -m pytest tests/ -q -p no:cacheprovider
 
 echo "== phase 2: real TPU =="
 MURB_TEST_TPU=1 python -m pytest \
-  tests/test_oracle.py tests/test_proxy.py tests/test_state.py \
+  tests/test_oracle.py tests/test_proxy.py tests/test_fmm.py \
+  tests/test_validate.py tests/test_state.py tests/test_integrators.py \
   tests/test_engines_differential.py tests/test_metrics.py \
   -q -p no:cacheprovider
