@@ -238,3 +238,27 @@ def test_blockspec_index_maps_are_i32_under_x64():
             jax.ShapeDtypeStruct((), jnp.int32),
         )
     assert all(o.dtype == jnp.int32 for o in out), out
+
+
+def test_pallas_kernels_bf16_state():
+    """bf16 state through the Pallas kernels: positions carry ~0.4%
+    representation error (8-bit mantissa), the kernels upcast to fp32
+    internally, and forces must track the fp32 oracle to that scale --
+    the --precision bf16 memory tier (half the HBM per body)."""
+    import jax.numpy as jnp
+
+    from murb_tpu.ops.hybrid import acc_hybrid
+    from murb_tpu.ops.tile_pallas import acc_tile
+
+    s32 = init_random(512, 13)
+    s16 = s32.astype(jnp.bfloat16)
+    gm32 = jnp.asarray(np.float32(G) * np.asarray(s32.m))
+    ref = acc_naive(s16.qx.astype(jnp.float32), s16.qy.astype(jnp.float32),
+                    s16.qz.astype(jnp.float32), gm32, SOFT)
+    gm16 = gm32.astype(jnp.bfloat16)
+    for fn, name in ((acc_tile, "tile"), (acc_hybrid, "hybrid")):
+        got = fn(s16.qx, s16.qy, s16.qz, gm16, SOFT)
+        assert got.ax.dtype == jnp.bfloat16  # state dtype round-trips
+        assert_within_rel(np.asarray(got.ax, np.float64),
+                          np.asarray(ref.ax, np.float64), 2e-2,
+                          f"bf16 {name}", rms_floor=2e-2)
