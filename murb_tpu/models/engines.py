@@ -46,6 +46,19 @@ def _resolve_metric_dtype(metric_dtype):
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _default_exact_acc(qx, qy, qz, gm, soft):
+    """Best exact all-pairs kernel for the backend: the hybrid Pallas
+    kernel on the TPU (passes=2, fp32-class ~3e-5 force error, ~5x the
+    chunked XLA sweep at N~80k), the chunked sweep elsewhere.  The default
+    force path of the integrator/tracking engines when no acc_fn is
+    wired (e.g. exact tracked runs on boxes too wide for the proxy)."""
+    if jax.default_backend() == "tpu":
+        from murb_tpu.ops.hybrid import acc_hybrid
+
+        return acc_hybrid(qx, qy, qz, gm, soft, passes=2)
+    return acc_chunked(qx, qy, qz, gm, soft)
+
+
 def _check_m2l_dots(tier: str) -> str:
     """Validate an FMM level-sweep matmul tier (see ops/fmm.fmm_field_grid)."""
     if tier not in ("fp32", "mixed", "bf16x3"):
@@ -608,7 +621,7 @@ class KDKEngine(SimulationEngine):
         self._acc = acc_fn  # (qx, qy, qz, gm, soft) -> Accel
 
     def _acc_fn(self, qx, qy, qz, gm):
-        fn = self._acc or acc_chunked
+        fn = self._acc or _default_exact_acc
         return fn(qx, qy, qz, gm, self.soft)
 
     def _make_step(self):
@@ -683,7 +696,7 @@ class LeapfrogEngine(SimulationEngine):
         self._phase_steps = None
 
     def _acc_fn(self, qx, qy, qz, gm):
-        fn = self._acc or acc_chunked
+        fn = self._acc or _default_exact_acc
         return fn(qx, qy, qz, gm, self.soft)
 
     def _build_phase_steps(self):
@@ -976,7 +989,7 @@ class TrackingEngine(EulerAccelEngine):
         self._tracked_step = None
 
     def _acc_fn(self, qx, qy, qz, gm):
-        fn = self._acc or acc_chunked
+        fn = self._acc or _default_exact_acc
         return fn(qx, qy, qz, gm, self.soft)
 
     def _metrics(self, state):
