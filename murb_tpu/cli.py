@@ -270,8 +270,15 @@ def main(argv=None) -> int:
         if traj is None:
             return
         if force or i_ite % max(cfg.dump_every, 1) == 0:
-            d = engine.bodies.unpadded()
-            traj.append(i_ite, d["qx"], d["qy"], d["qz"])
+            # pull ONLY the positions: unpadded() transfers all 8 state
+            # arrays, ~2.7x the bytes, and relay transfers dominate the
+            # demo's frame time
+            b = engine.bodies
+            import numpy as _np
+
+            n = b.n
+            traj.append(i_ite, _np.asarray(b.qx)[:n], _np.asarray(b.qy)[:n],
+                        _np.asarray(b.qz)[:n])
 
     ckpt_writer = None
     if cfg.save_every > 0:

@@ -1139,6 +1139,8 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
         self.masks = [jnp.pad(m, (0, npad - m.shape[0])) for m in masks]
 
     def _metrics(self, state):
+        if self._metrics_method == "exact" and len(self.masks) <= 8:
+            return self._metrics_exact_fused(state)
         per_gal = [
             metrics_mod.all_metrics(state, self.soft,
                                     out_dtype=self._metric_dtype, mask=m,
@@ -1151,6 +1153,33 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
         ls = jnp.stack([g[1] for g in per_gal])
         dcs = jnp.stack([g[2] for g in per_gal])
         return es, ls, dcs
+
+    def _metrics_exact_fused(self, state):
+        """Every per-galaxy potential from ONE O(N^2) sweep: the masked
+        G*m rows ride the hybrid kernel's free (8 -> 128-padded) MXU
+        dimension (ops/hybrid.phi_rows), replacing one full masked sweep
+        PER galaxy; KE / |L| / density centers are O(N) masked
+        reductions.  Falls back to the per-galaxy loop above for > 8
+        galaxies or proxy-method metrics."""
+        import dataclasses
+
+        from murb_tpu.ops.hybrid import phi_rows
+
+        gm = self._gm(state)
+        rows = jnp.stack([gm * m.astype(gm.dtype) for m in self.masks])
+        phi = phi_rows(state.qx, state.qy, state.qz, rows, self.soft)
+        out_dtype, sc = self._metric_dtype, self._mscales
+        es, ls, dcs = [], [], []
+        for g, mask in enumerate(self.masks):
+            mstate = dataclasses.replace(
+                state, m=state.m * mask.astype(state.dtype))
+            es.append(metrics_mod.energy_from_phi(
+                mstate, phi[g], self.soft, out_dtype, scales=sc))
+            ls.append(metrics_mod.angular_momentum(mstate, out_dtype,
+                                                   scales=sc))
+            dcs.append(metrics_mod.density_center(mstate, out_dtype,
+                                                  scales=sc))
+        return jnp.stack(es), jnp.stack(ls), jnp.stack(dcs)
 
     def _record(self, i, es, ls, dcs):
         if i >= self.history.num_iterations:

@@ -213,3 +213,122 @@ def acc_hybrid(qx, qy, qz, gm, soft, *, block_i: int = 0, block_j: int = 0,
     return acc_hybrid_rect(qx, qy, qz, qx, qy, qz, gm, soft,
                            block_i=block_i, block_j=block_j, passes=passes,
                            interpret=interpret)
+
+
+# ------------------------------------------------- multi-row potential sweep
+def _phi_kernel(qxj, qyj, qzj, qxi, qyi, qzi, gmr, phio, acc, *,
+                soft2, passes):
+    """phi_r[i] = sum_j gmr[r, j] * rsqrt(d_ij^2 + eps^2) for up to 8
+    source-weight rows r in ONE O(N^2) sweep: the weight rows ride the
+    same (8 -> 128-padded) MXU dimension the force kernel uses, so extra
+    rows are free.  The multi-galaxy tracking engine packs one masked
+    G*m row per galaxy and gets every per-galaxy potential from a single
+    pass (previously one full masked sweep PER galaxy)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    f32 = lambda r: r[...].astype(jnp.float32)
+    dx = f32(qxj) - f32(qxi)            # (BJ,1) - (1,BI) -> (BJ,BI)
+    dy = f32(qyj) - f32(qyi)
+    dz = f32(qzj) - f32(qzi)
+    d2 = (dx * dx + soft2) + dy * dy + dz * dz
+    inv = jax.lax.rsqrt(d2)             # the weight matrix itself
+
+    a32 = gmr[...].astype(jnp.float32)
+    ab = jnp.concatenate(_bsplit(a32, 2), axis=0)         # (16, BJ)
+
+    def dot_p(w):
+        pb = jax.lax.dot_general(
+            ab, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return pb[0:8, :] + pb[8:16, :]
+
+    if passes == 1:
+        w_parts = [inv.astype(jnp.bfloat16)]
+    else:
+        w_parts = _bsplit(inv, passes)
+    p = dot_p(w_parts[0])
+    for wp in w_parts[1:]:
+        p += dot_p(wp)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = p
+
+    @pl.when(j > 0)
+    def _accumulate():
+        acc[...] += p
+
+    @pl.when(j == nj - 1)
+    def _done():
+        phio[...] = acc[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("soft", "block_i", "block_j", "passes", "interpret"),
+)
+def phi_rows_rect(qxi, qyi, qzi, qxj, qyj, qzj, gm_rows, soft, *,
+                  block_i: int = 0, block_j: int = 0, passes: int = 2,
+                  interpret: bool | None = None) -> jax.Array:
+    """(R, ni) potentials of the i-set under R masked source-weight rows
+    ``gm_rows`` (R <= 8, nj); rows must already include G.  passes=2 gives
+    the fp32-class bf16-split reduction (same tiering as the force kernel).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert passes in (1, 2), passes
+    r = gm_rows.shape[0]
+    assert r <= 8, r
+    notify_dtype = qxi.dtype
+    from murb_tpu.ops.common import notify_fp32_compute
+
+    notify_fp32_compute(f"phi_rows/p{passes}", notify_dtype)
+    ni = qxi.shape[0]
+    nj = qxj.shape[0]
+    bi = block_i or pick_block(ni, 2048)
+    bj = block_j or pick_block(nj, 1024)
+    assert ni % bi == 0 and nj % bj == 0, (ni, nj, bi, bj)
+    soft2 = float(soft) ** 2
+
+    gmr = jnp.zeros((8, nj), jnp.float32).at[:r].set(
+        gm_rows.astype(jnp.float32))
+    qxj, qyj, qzj, qxi, qyi, qzi = f32_inputs(qxj, qyj, qzj, qxi, qyi, qzi)
+
+    jspec = BlockSpec((bj, 1), lambda i, j: (j, 0))
+    ispec = BlockSpec((1, bi), lambda i, j: (0, i))
+    aspec = BlockSpec((8, bj), lambda i, j: (0, j))
+    ospec = BlockSpec((8, bi), lambda i, j: (0, i))
+
+    col = lambda a: a.reshape(-1, 1)
+    row = lambda a: a.reshape(1, -1)
+
+    phi = pl.pallas_call(
+        functools.partial(_phi_kernel, soft2=soft2, passes=passes),
+        grid=(ni // bi, nj // bj),
+        in_specs=[jspec, jspec, jspec, ispec, ispec, ispec, aspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((8, ni), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, bi), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * ni * nj,
+            bytes_accessed=int((12 * nj * (ni // bi) + 9 * ni) * 4),
+            transcendentals=ni * nj,
+        ),
+        interpret=interpret,
+    )(col(qxj), col(qyj), col(qzj), row(qxi), row(qyi), row(qzi), gmr)
+
+    return phi[:r]
+
+
+def phi_rows(qx, qy, qz, gm_rows, soft, *, passes: int = 2,
+             interpret: bool | None = None) -> jax.Array:
+    """Square all-pairs multi-row potential sweep."""
+    return phi_rows_rect(qx, qy, qz, qx, qy, qz, gm_rows, soft,
+                         passes=passes, interpret=interpret)

@@ -1,5 +1,6 @@
 """Per-galaxy tracking engine tests (MultiGalaxySimulationHistory wiring)."""
 import numpy as np
+import pytest
 
 from murb_tpu.core.init import SCHEMES, milkyway_andromeda_masks
 from murb_tpu.models import create_engine
@@ -113,3 +114,34 @@ def test_multigalaxy_masks_survive_ctor_repad():
     total = hist.galaxies[0].energies + hist.galaxies[1].energies
     np.testing.assert_allclose(hist.energies, total, rtol=1e-12)
     assert np.all(np.isfinite(hist.energies))
+
+
+def test_fused_phi_rows_matches_masked_sweeps():
+    """The one-sweep multi-row potential path (ops/hybrid.phi_rows) must
+    reproduce the per-galaxy masked-sweep metrics it replaces."""
+    import jax.numpy as jnp
+
+    from murb_tpu.core import metrics as M
+    from murb_tpu.models import create_engine
+
+    n = 1024
+    bodies = SCHEMES["random"](n, 5)
+    half = np.zeros(bodies.npad, np.float32)
+    half[: n // 2] = 1.0
+    other = np.zeros(bodies.npad, np.float32)
+    other[n // 2: n] = 1.0
+    masks = [jnp.asarray(half), jnp.asarray(other)]
+
+    eng = create_engine("tpu+tracking+multi", bodies, soft=2e8, dt=3600.0,
+                        num_iterations=2, masks=masks)
+    es, ls, dcs = eng._metrics(eng._state)
+
+    # reference: the unfused masked-sweep path
+    ref = [M.all_metrics(eng._state, eng.soft,
+                         out_dtype=eng._metric_dtype, mask=m,
+                         scales=eng._mscales) for m in eng.masks]
+    for g in range(2):
+        assert float(es[g]) == pytest.approx(float(ref[g][0]), rel=1e-4)
+        assert float(ls[g]) == pytest.approx(float(ref[g][1]), rel=1e-5)
+        np.testing.assert_allclose(np.asarray(dcs[g]),
+                                   np.asarray(ref[g][2]), rtol=1e-5)
