@@ -327,11 +327,19 @@ def m2l_level(w, hl, soft, *, m: int, C: int, subset: str = "expand",
 # --------------------------------------------------------- downward pass
 def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
                    with_phi: bool = False, fused: bool = False,
-                   m2l_dots: str = "fp32", m2l_tile: int = 0):
+                   m2l_dots: str = "fp32", m2l_tile: int = 0,
+                   finest_subset: str = "expand"):
     """Finest-level node force fields (fx, fy, fz[, phi]) via the full
     hierarchy: coarser expansions by M2M, per-level expand-minus-near M2L,
     fields interpolated down with L2L.  ``fused`` routes eligible level
     sweeps through the Pallas kernel (ops/fmm_pallas.m2l_level_fused).
+
+    ``finest_subset``: the finest level's offset list -- "expand" (the
+    default: the near list, self cell included, is handled by the same
+    interpolation, which requires eps/h_L >~ 1) or "far" (the finest
+    27-neighborhood is excluded for an exact P2P stage, ops/p2p.py --
+    accuracy then depends only on the |o| >= 2 separation ratio, never
+    on the softening).
 
     ``m2l_dots`` sets the fused sweeps' matmul tier: "fp32" (6-pass
     emulation everywhere, the default), "bf16x3" (3-pass splits
@@ -383,7 +391,13 @@ def fmm_field_grid(w_finest, h, soft, *, m: int, levels: int,
         hl = h / C
         if f is not None:
             f = tuple(l2l(fd, m=m, C=C // 2) for fd in f)
-        contrib = level_sweep(ws[l], hl, C, subset="expand")
+        if l == levels and finest_subset == "far":
+            # P2P mode: the finest near list is exact, one "far" sweep
+            # replaces the expand-minus-near pair (pairwise identical:
+            # far = expand \ near by construction, _SUBSETS)
+            contrib = level_sweep(ws[l], hl, C, subset="far")
+        else:
+            contrib = level_sweep(ws[l], hl, C, subset="expand")
         f = contrib if f is None else tuple(
             a + b for a, b in zip(f, contrib)
         )
@@ -509,16 +523,33 @@ def fmm_order(halfwidth: float, soft: float, levels: int,
 
 
 def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
-               heavy_factor, m2l_dots, with_phi, block=0, m2l_tile=0):
+               heavy_factor, m2l_dots, with_phi, block=0, m2l_tile=0,
+               near: str = "interp", p2p_pmax: int = 0,
+               p2p_chunk: int = 0):
     """Shared hierarchy pass behind acc_fmm / force_and_potential_fmm:
     bounding box, heavy split, anterpolation, level sweeps, and the exact
-    heavy-body corrections -> (acc (n, 3), phi (n,) or None)."""
+    heavy-body corrections -> (acc (n, 3), phi (n,) or None).
+
+    ``near="p2p"`` excludes the finest 27-neighborhood from the field
+    sweep and evaluates it exactly (ops/p2p.p2p_sweep, capacity
+    ``p2p_pmax``) -- accuracy then depends only on cell separation, so
+    depth follows occupancy instead of eps/h (clustered merger boxes)."""
     dtype = qx.dtype
     n = qx.shape[0]
     gm_pos = gm > 0
     C = 2 ** levels
 
     c, h = bounding_box(qx, qy, qz, gm_pos)
+    if near == "p2p":
+        # Isotropic (cubic) cells: p2p-mode far-field accuracy rests
+        # ONLY on the |o| >= 2 separation ratio, and that ratio is
+        # per-dimension -- anisotropic cells put an |o|=2 neighbor in a
+        # thin dimension INSIDE the Bernstein ellipse of a wide one and
+        # the M2L diverges (measured 2e-2 on a two-cluster slab box
+        # that converges at 1e-5 with cubic cells).  Interp mode keeps
+        # the anisotropic box: its binding constraint is eps/h per
+        # dimension, which anisotropy helps.
+        h = jnp.full_like(h, jnp.max(h))
     k = max(min(heavy_k, n), 1)
     mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
     hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
@@ -551,7 +582,9 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
         w = p2m_grid(qx, qy, qz, gm_eff, c, h, m=m, C=C)
     fields = fmm_field_grid(w, h, soft, m=m, levels=levels,
                             with_phi=with_phi, fused=True,
-                            m2l_dots=m2l_dots, m2l_tile=m2l_tile)
+                            m2l_dots=m2l_dots, m2l_tile=m2l_tile,
+                            finest_subset="far" if near == "p2p"
+                            else "expand")
     if block_l2p:
         from murb_tpu.ops.fmm_pallas import l2p_grid_fused
 
@@ -560,6 +593,19 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
     else:
         out = l2p_grid(qx, qy, qz, c, h, fields, m=m, C=C)
     acc = jnp.stack(out[:3], axis=1)
+    phi_near = None
+
+    if near == "p2p":
+        from murb_tpu.ops.p2p import DEFAULT_CHUNK, p2p_sweep
+
+        if p2p_pmax <= 0:
+            raise ValueError("near='p2p' requires a sized p2p_pmax "
+                             "(ops/p2p.size_pmax from the distribution)")
+        acc_near, phi_near, _n_pairs = p2p_sweep(
+            qx, qy, qz, gm_eff, c, h, soft, C=C, pmax=p2p_pmax,
+            chunk=p2p_chunk or DEFAULT_CHUNK, with_phi=with_phi,
+        )
+        acc = acc + acc_near
 
     acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
     ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
@@ -573,6 +619,8 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
         from murb_tpu.ops.proxy import heavy_source_phi, heavy_target_phi
 
         phi = out[3] + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
+        if phi_near is not None:
+            phi = phi + phi_near
         phi_h = heavy_target_phi(qx, qy, qz, gm, hq, soft)
         phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
     return acc, phi
@@ -581,36 +629,42 @@ def _fmm_solve(qx, qy, qz, gm, soft, *, m, levels, heavy_k,
 @functools.partial(
     jax.jit,
     static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
-                     "m2l_dots", "block", "m2l_tile"),
+                     "m2l_dots", "block", "m2l_tile", "near", "p2p_pmax",
+                     "p2p_chunk"),
 )
 def acc_fmm(qx, qy, qz, gm, soft, *, m: int = 12, levels: int = 2,
             heavy_k: int = 1, heavy_factor: float = DEFAULT_HEAVY_FACTOR,
             m2l_dots: str = "fp32", block: int = 0,
-            m2l_tile: int = 0) -> Accel:
+            m2l_tile: int = 0, near: str = "interp", p2p_pmax: int = 0,
+            p2p_chunk: int = 0) -> Accel:
     """All-pairs softened-gravity accelerations via the L-level hierarchy.
 
     Same outer contract as ops/proxy.acc_proxy: heavy bodies are excluded
     from the far field and corrected exactly (as sources via an N x k sweep,
     as targets via a k x N sweep).  ``m2l_dots`` picks the level sweeps'
     matmul tier (see fmm_field_grid: "fp32" default, "bf16x3" fast tier,
-    "mixed" = fp32 near shell + bf16x3 far shell)."""
+    "mixed" = fp32 near shell + bf16x3 far shell).  ``near="p2p"`` runs
+    the adaptive exact near-field (ops/p2p.py, capacity ``p2p_pmax``)."""
     acc, _ = _fmm_solve(qx, qy, qz, gm, soft, m=m, levels=levels,
                         heavy_k=heavy_k, heavy_factor=heavy_factor,
                         m2l_dots=m2l_dots, with_phi=False, block=block,
-                        m2l_tile=m2l_tile)
+                        m2l_tile=m2l_tile, near=near, p2p_pmax=p2p_pmax,
+                        p2p_chunk=p2p_chunk)
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
-                     "m2l_dots", "block", "m2l_tile"),
+                     "m2l_dots", "block", "m2l_tile", "near", "p2p_pmax",
+                     "p2p_chunk"),
 )
 def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
                             levels: int = 2, heavy_k: int = 1,
                             heavy_factor: float = DEFAULT_HEAVY_FACTOR,
                             m2l_dots: str = "fp32", block: int = 0,
-                            m2l_tile: int = 0):
+                            m2l_tile: int = 0, near: str = "interp",
+                            p2p_pmax: int = 0, p2p_chunk: int = 0):
     """(Accel, phi): forces and potential in ONE hierarchy pass -- the
     multi-level counterpart of ops/proxy.force_and_potential_proxy, for
     tracking engines on boxes too wide for a single expansion.
@@ -625,5 +679,6 @@ def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
     acc, phi = _fmm_solve(qx, qy, qz, gm, soft, m=m, levels=levels,
                           heavy_k=heavy_k, heavy_factor=heavy_factor,
                           m2l_dots=m2l_dots, with_phi=True, block=block,
-                          m2l_tile=m2l_tile)
+                          m2l_tile=m2l_tile, near=near, p2p_pmax=p2p_pmax,
+                          p2p_chunk=p2p_chunk)
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2]), phi
