@@ -1,0 +1,142 @@
+"""Adaptive (occupied-cell) hierarchy: ops/sparse_fmm.py.
+
+Differential discipline as everywhere: the jnp naive kernel is the
+oracle.  The distributions are chosen to exercise what the dense
+hierarchy cannot solve (clustered cores at soft << box / 2^Lmax) and the
+multi-level sparse chain (several sparse levels, dense handoff, parity
+telescoping)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from murb_tpu.ops.naive import acc_naive
+from murb_tpu.ops.sparse_fmm import (
+    SparsePlan,
+    acc_adaptive,
+    best_adaptive_plan,
+    force_and_potential_adaptive,
+    level_stats,
+    plan_adaptive,
+)
+
+
+def _max_rel_err(a, r, gm):
+    an = np.stack([np.asarray(a.ax), np.asarray(a.ay), np.asarray(a.az)], 1)
+    rn = np.stack([np.asarray(r.ax), np.asarray(r.ay), np.asarray(r.az)], 1)
+    nrm = np.linalg.norm(rn, axis=1)
+    sel = np.asarray(gm) > 0
+    e = np.linalg.norm(an - rn, axis=1)
+    return float((e[sel] / np.maximum(nrm[sel], nrm[sel].max() * 1e-6)).max())
+
+
+def _pad(q, m, npad):
+    n = len(m)
+    qp = np.zeros((npad, 3), np.float32)
+    qp[:n] = q
+    gm = np.zeros(npad, np.float32)
+    gm[:n] = m
+    return (jnp.asarray(qp[:, 0]), jnp.asarray(qp[:, 1]),
+            jnp.asarray(qp[:, 2]), jnp.asarray(gm))
+
+
+def _two_clusters(n=4000, npad=4096, seed=0, heavy=False):
+    rng = np.random.default_rng(seed)
+    q = np.concatenate([
+        rng.normal(0, 1.0, (n // 2, 3)) + [-50.0, 0.0, 0.0],
+        rng.normal(0, 1.0, (n - n // 2, 3)) + [50.0, 10.0, -5.0],
+    ]).astype(np.float32)
+    m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    if heavy:
+        m[0] = 5e5
+    return _pad(q, m, npad), q
+
+
+@pytest.mark.parametrize("dense_levels,levels", [(2, 4), (3, 5), (2, 6)])
+def test_adaptive_clustered_wide_box(dense_levels, levels):
+    """Deep sparse chains solve the soft-4-orders-below-box two-cluster
+    case the dense hierarchy's cost model rejects."""
+    (qx, qy, qz, gm), q = _two_clusters()
+    ref = acc_naive(qx, qy, qz, gm, 0.01)
+    plan = plan_adaptive(q, int(qx.shape[0]), 6, dense_levels, levels)
+    a = acc_adaptive(qx, qy, qz, gm, 0.01, plan)
+    assert _max_rel_err(a, ref, gm) <= 1e-4
+
+
+def test_adaptive_uniform_converges_with_order():
+    rng = np.random.default_rng(1)
+    n, npad = 4000, 4096
+    q = rng.uniform(-100, 100, (n, 3)).astype(np.float32)
+    m = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    qx, qy, qz, gm = _pad(q, m, npad)
+    ref = acc_naive(qx, qy, qz, gm, 0.5)
+    errs = []
+    for order in (4, 8):
+        plan = plan_adaptive(q, npad, order, 2, 4)
+        errs.append(_max_rel_err(
+            acc_adaptive(qx, qy, qz, gm, 0.5, plan), ref, gm))
+    assert errs[1] <= 1e-4
+    assert errs[1] < errs[0] / 10
+
+
+def test_adaptive_fused_force_and_potential():
+    (qx, qy, qz, gm), q = _two_clusters(n=2000, npad=2048)
+    soft = 0.01
+    plan = plan_adaptive(q, 2048, 6, 2, 5)
+    a, phi = force_and_potential_adaptive(qx, qy, qz, gm, soft, plan)
+    ref = acc_naive(qx, qy, qz, gm, soft)
+    assert _max_rel_err(a, ref, gm) <= 1e-4
+
+    qp = np.stack([np.asarray(qx), np.asarray(qy), np.asarray(qz)], 1)
+    gmn = np.asarray(gm)
+    d2 = ((qp[None] - qp[:, None]) ** 2).sum(-1) + soft ** 2
+    ref_phi = (gmn[None, :] / np.sqrt(d2)).sum(1)  # includes self Gm/eps
+    sel = gmn > 0
+    np.testing.assert_allclose(np.asarray(phi)[sel], ref_phi[sel],
+                               rtol=2e-4)
+
+
+def test_adaptive_heavy_split():
+    (qx, qy, qz, gm), q = _two_clusters(n=2000, npad=2048, heavy=True)
+    ref = acc_naive(qx, qy, qz, gm, 0.01)
+    plan = plan_adaptive(q, 2048, 6, 2, 5)
+    a = acc_adaptive(qx, qy, qz, gm, 0.01, plan, heavy_k=1)
+    assert _max_rel_err(a, ref, gm) <= 1e-4
+
+
+def test_best_plan_is_argmin_of_cost_model():
+    """best_adaptive_plan returns the cheapest geometry its cost model
+    sees.  (Which depth wins is distribution- and N-dependent: POINT-like
+    clusters keep their intra-cluster pairs at any depth, so shallow
+    wins at small N; depth pays off once cells resolve the cores --
+    measured on the 82k merger, ROADMAP.)"""
+    from murb_tpu.ops.sparse_fmm import plan_cost_ms
+
+    (_, q) = _two_clusters()
+    plan, cost = best_adaptive_plan(q, 4096, 6)
+    assert np.isfinite(cost) and cost > 0
+    best = min(plan_cost_ms(q, 4096, 6, Ld, L)
+               for Ld in (2, 3) for L in range(Ld + 1, 10))
+    assert cost == best
+    assert plan_cost_ms(q, 4096, 6, plan.dense_levels,
+                        plan.levels) == best
+
+
+def test_level_stats_replicates_capacity_needs():
+    """The planner's occupied-cell counts are self-consistent: the
+    differential tests above run with capacities sized from exactly
+    these counts, so drops would already surface as force errors."""
+    (_, q) = _two_clusters(n=2000, npad=2048)
+    stats = level_stats(q, 2, 5)
+    assert len(stats) == 3
+    for nc, lvl in zip(stats, (3, 4, 5)):
+        assert 0 < nc <= 2 ** (3 * lvl)
+    # deeper levels split cells, never merge them
+    assert stats == sorted(stats)
+
+
+def test_plan_is_static_and_hashable():
+    """SparsePlan must stay a valid jit static argument."""
+    (_, q) = _two_clusters(n=2000, npad=2048)
+    plan = plan_adaptive(q, 2048, 6, 2, 5)
+    assert isinstance(hash(plan), int)
+    assert plan == SparsePlan(*plan)
