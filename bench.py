@@ -45,6 +45,25 @@ BASELINE_TABLES = {
 
 
 def _bodies(n, scheme="galaxy"):
+    if scheme == "two_clusters":
+        # two extended Gaussian clusters in a wide box with softening 4
+        # orders below the box scale: the distribution class the dense
+        # hierarchy cannot solve at ANY cost (finest-cell requirement
+        # explodes the 8^L grid) -- the adaptive sparse solver's domain
+        import numpy as np
+
+        from murb_tpu.core.state import BodyState
+
+        rng = np.random.default_rng(42)
+        q = np.concatenate([
+            rng.normal(0, 5.0, (n // 2, 3)) + [-75.0, 0.0, 0.0],
+            rng.normal(0, 5.0, (n - n // 2, 3)) + [75.0, 20.0, -10.0],
+        ]).astype(np.float32)
+        m = (rng.uniform(0.5, 2.0, n) * 1e10).astype(np.float32)
+        v = np.zeros((n, 3), np.float32)
+        return BodyState.from_arrays(m, np.ones(n, np.float32),
+                                     q[:, 0], q[:, 1], q[:, 2],
+                                     v[:, 0], v[:, 1], v[:, 2])
     if scheme == "two_galaxies":
         # mw+andromeda merger ICs (81,920 bodies, fixed by the generator):
         # same path as scripts/demo_two_galaxies.sh step 1 + the native
@@ -100,6 +119,8 @@ def _cfg(engine) -> dict:
         "validated_err": (None if engine.validated_err is None
                           else f"{engine.validated_err:.2e}"),
     }
+    if getattr(engine, "near_mode", "interp") == "adaptive":
+        cfg["near"] = "adaptive (sparse hierarchy + exact P2P)"
     if not getattr(engine, "using_proxy", True):
         # keep the m/levels keys (downstream rows index them) but flag it
         cfg["exact_fallback"] = ("cost model rejected the fast-solver "
@@ -240,6 +261,19 @@ def main() -> None:
                                      scheme="two_galaxies", warmup=10,
                                      ret_engine=True)
 
+    # adaptive sparse solver (round-3: ops/sparse_fmm + ops/p2p) on the
+    # distribution class no dense config can solve: clustered cores at
+    # soft 4 orders below the box.  At this N the measured-rate cost
+    # model picks the adaptive path over the exact kernel (near="auto");
+    # model units, so soft/dt are row-local, not the CLI defaults.
+    N_CLUST = 1_048_576
+    fps_adaptive, eng_adaptive = measure(
+        "tpu+proxy", 4, n=N_CLUST, scheme="two_clusters", warmup=1,
+        soft=0.02, dt=1e-6, ret_engine=True)
+    fps_exact_clust = measure("tpu+hybrid", 2, n=N_CLUST,
+                              scheme="two_clusters", warmup=1,
+                              soft=0.02, dt=1e-6)
+
     # measured force errors at the benched N (auditable accuracy claims),
     # at each row's SHIPPING config -- the one measured-order selection
     # actually picked above, not a hard-coded order
@@ -290,6 +324,12 @@ def main() -> None:
             "fps": round(fps_twogal, 2),
             "ref_gflops": round(to_gflops(fps_twogal, N_TWOGAL), 1),
             "cfg": _cfg(eng_twogal),
+        },
+        "adaptive_two_clusters_1m": {
+            "fps": round(fps_adaptive, 3),
+            "fps_exact": round(fps_exact_clust, 3),
+            "adaptive_vs_exact": round(fps_adaptive / fps_exact_clust, 2),
+            "cfg": _cfg(eng_adaptive),
         },
         "force_err": {
             "proxy_galaxy_max": f"{pmax:.2e}",

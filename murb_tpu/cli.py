@@ -111,6 +111,51 @@ def build_engine(cfg: MurbConfig):
         half = half_extent(bodies.unpadded())
         fmm_levels = required_levels(half, cfg.softening)
         proxy_m = fmm_order(half, cfg.softening, fmm_levels, cfg.tol)
+        if proxy_m > 16:
+            # the dense hierarchy cannot meet tol on this box (clustered
+            # / soft far below the feasible finest cells) -- the
+            # occupied-cell adaptive hierarchy is scale-free
+            print(f"NOTE: box/softening ratio too large for the dense "
+                  f"hierarchy (needs m={proxy_m}); using the adaptive "
+                  f"sparse kernel (exact P2P near field).")
+            kernel = "adaptive"
+            proxy_m = 0
+    adaptive_plan = None
+    if kernel == "adaptive":
+        import numpy as _np
+
+        import jax.numpy as _jnp
+
+        from murb_tpu import G as _G
+        from murb_tpu.ops.sparse_fmm import (
+            acc_adaptive,
+            adaptive_order,
+            best_adaptive_plan,
+        )
+        from murb_tpu.ops.validate import measured_force_error
+
+        u = bodies.unpadded()
+        sel = u["m"] > 0
+        qh = _np.stack([u["qx"][sel], u["qy"][sel], u["qz"][sel]],
+                       1).astype(_np.float32)
+        adaptive_plan, _est = best_adaptive_plan(
+            qh, bodies.npad, adaptive_order(cfg.tol))
+        gmv = _jnp.asarray(_G, bodies.qx.dtype) * bodies.m
+        merr = None
+        while True:
+            merr = measured_force_error(
+                bodies.qx, bodies.qy, bodies.qz, gmv, cfg.softening,
+                lambda a, b, c, g: acc_adaptive(a, b, c, g, cfg.softening,
+                                                adaptive_plan))
+            if merr <= cfg.tol or adaptive_plan.m + 2 > 12:
+                break
+            adaptive_plan = adaptive_plan._replace(m=adaptive_plan.m + 2)
+        if merr > cfg.tol:
+            print(f"WARNING: adaptive kernel validation missed "
+                  f"tol={cfg.tol:.1e} (measured {merr:.1e} at "
+                  f"m={adaptive_plan.m}); keeping it.")
+        proxy_m, fmm_levels = adaptive_plan.m, adaptive_plan.levels
+        cert_half = None
     if kernel in ("proxy", "fmm"):
         # Measured-order selection (ops/validate): the static pick is a
         # calibrated guess whose prefactor is distribution-dependent;
@@ -153,6 +198,8 @@ def build_engine(cfg: MurbConfig):
     elif canonical in _fusible and kernel == "fmm":
         extra["fused_fmm"] = (proxy_m, fmm_levels)  # fused hierarchy step
         extra["validated_half"] = cert_half
+    elif canonical in _fusible and kernel == "adaptive":
+        extra["fused_adaptive"] = adaptive_plan  # fused sparse+P2P step
     elif canonical in ("tpu+tracking", "tpu+tracking+multi", "tpu+leapfrog",
                        "tpu+leapfrog+tracking", "tpu+kdk"):
         from murb_tpu.ops import make_acc_fn
@@ -160,6 +207,7 @@ def build_engine(cfg: MurbConfig):
         extra["acc_fn"] = make_acc_fn(
             kernel, block_i=cfg.block_i, block_j=cfg.block_j,
             chunk=cfg.chunk, m=proxy_m or 16, levels=fmm_levels or 2,
+            plan=adaptive_plan,
         )
     # Default-on mid-run adaptation for the frame loop: a long expanding
     # system rebuilds its proxy/fmm order every 64 iterations instead of
@@ -178,7 +226,7 @@ def build_engine(cfg: MurbConfig):
         chunk=cfg.chunk, block_i=cfg.block_i, block_j=cfg.block_j,
         shards=cfg.shards, gpu_fraction=cfg.gpu_fraction,
         adapt_every=adapt_every,
-        m2l_dots=cfg.m2l_dots, tol=cfg.tol,
+        m2l_dots=cfg.m2l_dots, tol=cfg.tol, near=cfg.near,
         autotune=True if cfg.autotune else None,
         **extra,
     )
@@ -211,7 +259,10 @@ def print_banner(cfg: MurbConfig, engine) -> None:
         lv = getattr(engine, "levels", getattr(engine, "fmm_levels", 0))
         m = getattr(engine, "m", getattr(engine, "fmm_m",
                                          getattr(engine, "proxy_m", 0)))
-        mode = f"fmm m={m} L={lv}" if lv else f"proxy m={m}"
+        if getattr(engine, "near_mode", "interp") == "adaptive":
+            mode = f"adaptive m={m} L={lv} (sparse + exact near field)"
+        else:
+            mode = f"fmm m={m} L={lv}" if lv else f"proxy m={m}"
         print(f"  -> validated order           : {mode} "
               f"(measured err {err:.1e} vs tol {cfg.tol:g})")
 
@@ -434,13 +485,26 @@ def main(argv=None) -> int:
     if hasattr(engine, "proxy_health"):
         health = engine.proxy_health()
         if health is not None and not health["ok"]:
-            print(
-                f"WARNING: system expanded beyond the proxy design margin "
-                f"(order m={health['m']}, now requires "
-                f"m={health['required_m_now']}); forces in late iterations "
-                f"are less accurate -- rerun with --im tpu+hybrid for exact "
-                f"forces, or resume from a checkpoint with a fresh engine."
-            )
+            if health.get("near") == "adaptive":
+                print(
+                    f"WARNING: the distribution outgrew the adaptive "
+                    f"solver's compiled capacities (occupied cells "
+                    f"{health['n_cells_now']} vs caps "
+                    f"{health['cell_caps']}; p2p pairs "
+                    f"{health['p2p_pairs_now']} vs cap "
+                    f"{health['p2p_pmax']}); some near pairs were dropped "
+                    f"in late iterations -- rerun with --adapt-every to "
+                    f"re-plan mid-run, or --im tpu+hybrid for exact forces."
+                )
+            else:
+                print(
+                    f"WARNING: system expanded beyond the proxy design "
+                    f"margin (order m={health['m']}, now requires "
+                    f"m={health['required_m_now']}); forces in late "
+                    f"iterations are less accurate -- rerun with --im "
+                    f"tpu+hybrid for exact forces, or resume from a "
+                    f"checkpoint with a fresh engine."
+                )
 
     if cfg.csv and hasattr(engine, "history"):
         if hasattr(engine, "finalize_history"):

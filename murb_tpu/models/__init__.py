@@ -91,7 +91,7 @@ def _build_registry():
             b, **_filter(kw, "m", "cells", "levels", "tol", "max_m",
                          "heavy_k", "box_margin", "adapt_every", "cost_slack",
                          "m2l_dots", "block", "m2l_tile", "autotune",
-                         "validate")
+                         "validate", "near")
         ),
         aliases=("fmm", "barnes-hut"),
     )
@@ -116,7 +116,7 @@ def _build_registry():
     register(
         "tpu+tracking",
         lambda b, **kw: E.TrackingEngine(
-            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm", "m2l_dots", "validated_half")
+            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm", "fused_adaptive", "m2l_dots", "validated_half")
         ),
         aliases=("gpu+tracking",),
     )
@@ -139,8 +139,8 @@ def _build_registry():
         lambda b, **kw: E.LeapfrogTrackingEngine(
             b, **_filter(kw, "num_iterations", "history", "acc_fn",
                          "metric_dtype", "metrics_method", "metrics_proxy_m",
-                         "fused_proxy_m", "fused_fmm", "m2l_dots",
-                         "validated_half")
+                         "fused_proxy_m", "fused_fmm", "fused_adaptive",
+                         "m2l_dots", "validated_half")
         ),
         aliases=("gpu+leapfrog+tracking",),
     )

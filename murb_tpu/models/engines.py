@@ -67,11 +67,18 @@ def _check_m2l_dots(tier: str) -> str:
 
 
 def _fused_force_phi(qx, qy, qz, gm, soft, fused_proxy_m, fused_fmm,
-                     m2l_dots):
+                     m2l_dots, fused_adaptive=None):
     """(Accel, phi) in ONE far-field pass -- the shared fused
-    force+potential dispatch of the tracking engines (single-level proxy
-    or L-level hierarchy; see ops/proxy.force_and_potential_proxy and
-    ops/fmm.force_and_potential_fmm)."""
+    force+potential dispatch of the tracking engines (single-level proxy,
+    L-level hierarchy, or the adaptive sparse hierarchy; see
+    ops/proxy.force_and_potential_proxy, ops/fmm.force_and_potential_fmm
+    and ops/sparse_fmm.force_and_potential_adaptive)."""
+    if fused_adaptive is not None:
+        from murb_tpu.ops.sparse_fmm import force_and_potential_adaptive
+
+        return force_and_potential_adaptive(qx, qy, qz, gm, soft,
+                                            fused_adaptive,
+                                            m2l_dots=m2l_dots)
     if fused_fmm:
         from murb_tpu.ops.fmm import force_and_potential_fmm
 
@@ -99,7 +106,8 @@ def _phi_metrics(state, phi, soft, out_dtype, scales=None):
 
 
 def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm,
-                        validated_half=None) -> dict | None:
+                        validated_half=None,
+                        fused_adaptive=None) -> dict | None:
     """Validity check for a tracking engine's fused far-field path (same
     contract as ProxyEngine.proxy_health); None when using neither.
 
@@ -108,6 +116,34 @@ def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm,
     this half-extent (certified_half: the rho^-m law with the measured
     prefactor) instead of the static bound, which a descended order
     deliberately sits below."""
+    if fused_adaptive is not None:
+        import numpy as np
+
+        from murb_tpu.ops.p2p import estimate_brick_pairs, size_pmax
+        from murb_tpu.ops.sparse_fmm import level_stats
+
+        u = state.unpadded()
+        sel = u["m"] > 0
+        q = np.stack([u["qx"][sel], u["qy"][sel], u["qz"][sel]],
+                     1).astype(np.float32)
+        plan = fused_adaptive
+        stats = level_stats(q, plan.dense_levels, plan.levels)
+        cells_ok = all(nc <= cap for nc, cap in zip(stats, plan.cell_caps))
+        npairs = estimate_brick_pairs(q, state.npad, plan.levels)
+        pairs_ok = size_pmax(npairs, margin=1.0) <= plan.p2p_pmax
+        return {
+            "using_proxy": True,
+            "m": plan.m,
+            "cells": 1,
+            "levels": plan.levels,
+            "near": "adaptive",
+            "required_m_now": plan.m,
+            "n_cells_now": tuple(stats),
+            "cell_caps": plan.cell_caps,
+            "p2p_pairs_now": npairs,
+            "p2p_pmax": plan.p2p_pmax,
+            "ok": cells_ok and pairs_ok,
+        }
     if not (fused_proxy_m or fused_fmm):
         return None
     from murb_tpu.ops.proxy import half_extent, required_order
@@ -323,7 +359,7 @@ class ProxyEngine(EulerAccelEngine):
                  adapt_every: int = 0, cost_slack: float = 30.0,
                  m2l_dots: str = "fp32", block: int = 0, m2l_tile: int = 0,
                  autotune: bool | None = None, validate: bool = True,
-                 **kw):
+                 near: str = "auto", **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -345,6 +381,12 @@ class ProxyEngine(EulerAccelEngine):
         self.validate = bool(validate)
         self.validated_err: float | None = None
         self.validated_half: float | None = None
+        if near not in ("auto", "interp", "adaptive"):
+            raise ValueError(f"unknown near mode: {near!r} "
+                             "(auto | interp | adaptive)")
+        self.near = near
+        self.near_mode = "interp"   # resolved: "interp" | "adaptive"
+        self._plan = None           # SparsePlan when near_mode=="adaptive"
         self._auto = m == 0 and levels == 0
         if self._auto:
             self._configure()
@@ -355,6 +397,8 @@ class ProxyEngine(EulerAccelEngine):
             self.levels = int(levels)
             self.cells = int(cells or 1)
             self.using_proxy = self.m <= max_m
+            if near == "adaptive":
+                self._configure_adaptive(force=True)
         if not (block or m2l_tile):
             self._resolve_fast_blocks(autotune)
 
@@ -376,6 +420,7 @@ class ProxyEngine(EulerAccelEngine):
         # the fastest measured block geometry).
         m1 = round4(required_order(half * self.box_margin, self.soft,
                                    self.tol, margin=0))
+        self.near_mode, self._plan = "interp", None
         if m1 <= 20:
             m, levels, cells = m1, 0, 1
         else:
@@ -385,8 +430,111 @@ class ProxyEngine(EulerAccelEngine):
         self.levels = int(levels)
         self.cells = int(cells)
         self._apply_cost_model()
+        if self.near == "adaptive" or (self.near == "auto"
+                                       and not self.using_proxy):
+            # the interp policy rejected every dense config (clustered
+            # box: finest-cell requirement explodes the grid) -- try the
+            # adaptive sparse hierarchy before the exact fallback
+            self._configure_adaptive(force=self.near == "adaptive")
         if self.using_proxy and self.validate:
-            self._validate_order(half)
+            if self.near_mode == "adaptive":
+                self._validate_adaptive()
+            else:
+                self._validate_order(half)
+
+    def _active_q(self):
+        """(n_active, 3) float32 massive-body positions (host) -- the
+        input of the adaptive planner / health replica."""
+        import numpy as np
+
+        u = self._state.unpadded()
+        sel = u["m"] > 0
+        return np.stack([u["qx"][sel], u["qy"][sel], u["qz"][sel]],
+                        1).astype(np.float32)
+
+    def _configure_adaptive(self, force: bool = False) -> None:
+        """Plan the adaptive sparse hierarchy (ops/sparse_fmm) for the
+        current distribution; adopt it when its measured-rate cost model
+        beats the exact kernel (or unconditionally when forced by
+        ``near='adaptive'``).  At small N the exact kernel at the VPU
+        ceiling wins and this honestly declines (measured: the 82k
+        merger runs 24 ms exact vs 216 ms adaptive; N=1M clustered flips
+        it, 4.75 s vs 3.64 s)."""
+        from murb_tpu.ops.sparse_fmm import (
+            adaptive_order,
+            best_adaptive_plan,
+            exact_cost_ms,
+        )
+
+        q = self._active_q()
+        explicit = not self._auto
+        m0 = self.m if (explicit and self.m) else adaptive_order(self.tol)
+        if explicit and self.levels:
+            from murb_tpu.ops.sparse_fmm import plan_adaptive
+
+            Ld = min(3, self.levels - 1)
+            plan = plan_adaptive(q, self._state.npad, m0, Ld, self.levels)
+            est_ms = 0.0
+        else:
+            plan, est_ms = best_adaptive_plan(q, self._state.npad, m0)
+        if not force and est_ms >= min(1.0, self.cost_slack / 30.0) \
+                * exact_cost_ms(self._state.npad):
+            return  # exact fallback stays the honest pick
+        self._plan = plan
+        self.near_mode = "adaptive"
+        self.m, self.levels, self.cells = plan.m, plan.levels, 1
+        self.using_proxy = True
+
+    def _plan_at(self, m: int):
+        """The current plan re-ordered (geometry/capacities are
+        m-independent, so validation rungs reuse them)."""
+        return self._plan._replace(m=int(m))
+
+    def _validate_adaptive(self) -> None:
+        """Measured-order selection for the adaptive solver: the far
+        shell's convergence is scale-free (|o| >= 2 separation), so the
+        ladder moves m only -- depth is the cost model's job.  Escalate
+        by 2 until the measured error meets tol (cap 12), then descend
+        off a passing first trial (floor 4)."""
+        from murb_tpu.ops.sparse_fmm import acc_adaptive
+        from murb_tpu.ops.validate import measured_force_error
+
+        st = self._state
+        gm = self._gm(st)
+
+        def err_at(m):
+            plan = self._plan_at(m)
+
+            def acc(qx, qy, qz, g):
+                return acc_adaptive(qx, qy, qz, g, self.soft, plan,
+                                    heavy_k=self.heavy_k,
+                                    m2l_dots=self.m2l_dots)
+
+            return measured_force_error(st.qx, st.qy, st.qz, gm,
+                                        self.soft, acc)
+
+        m = self.m
+        err = err_at(m)
+        if err <= self.tol:
+            while m - 2 >= 4:
+                derr = err_at(m - 2)
+                if derr > self.tol:
+                    break
+                m, err = m - 2, derr
+        else:
+            while err > self.tol and m + 2 <= 12:
+                m += 2
+                err = err_at(m)
+            if err > self.tol:
+                print(f"WARNING: adaptive-solver validation missed "
+                      f"tol={self.tol:.1e} at m={m} "
+                      f"(measured err {err:.1e}); keeping m={m}")
+        self.m = int(m)
+        self._plan = self._plan_at(m)
+        self.validated_err = err
+        # scale-free accuracy: box growth never invalidates the order;
+        # proxy_health watches the CAPACITIES instead
+        self.validated_half = None
 
     def _apply_cost_model(self) -> None:
         # Cost model: the proxy must not be drastically costlier than
@@ -465,10 +613,11 @@ class ProxyEngine(EulerAccelEngine):
         item 8): the anterpolation block and (hierarchy only) the fused-M2L
         row tile, swept with the same steady-state discipline as the exact
         kernels' block autotuner and persisted per (tag, m, levels, npad,
-        backend).  Off-path configs (exact fallback, non-TPU) skip."""
+        backend).  Off-path configs (exact fallback, adaptive mode,
+        non-TPU) skip -- the adaptive solver has no dense fused stages."""
         from murb_tpu.utils import autotune as at
 
-        if not self.using_proxy:
+        if not self.using_proxy or self.near_mode == "adaptive":
             return
         if autotune is None:
             autotune = at.enabled()
@@ -525,9 +674,11 @@ class ProxyEngine(EulerAccelEngine):
         Syncs the device; call between frames, not inside jit."""
         if not self._auto or self.proxy_health()["ok"]:
             return False
-        old = (self.m, self.levels, self.cells, self.using_proxy)
+        old = (self.m, self.levels, self.cells, self.using_proxy,
+               self.near_mode, self._plan)
         self._configure()
-        if (self.m, self.levels, self.cells, self.using_proxy) == old:
+        if (self.m, self.levels, self.cells, self.using_proxy,
+                self.near_mode, self._plan) == old:
             return False
         # stage geometry is per-(m, levels); re-lookup (never sweep mid-run)
         self.block = self.m2l_tile = 0
@@ -561,6 +712,12 @@ class ProxyEngine(EulerAccelEngine):
             from murb_tpu.ops.hybrid import acc_hybrid
 
             return acc_hybrid(qx, qy, qz, gm, self.soft, passes=2)
+        if self.near_mode == "adaptive":
+            from murb_tpu.ops.sparse_fmm import acc_adaptive
+
+            return acc_adaptive(qx, qy, qz, gm, self.soft, self._plan,
+                                heavy_k=self.heavy_k,
+                                m2l_dots=self.m2l_dots)
         if self.levels:
             from murb_tpu.ops.fmm import acc_fmm
 
@@ -580,9 +737,40 @@ class ProxyEngine(EulerAccelEngine):
     def proxy_health(self) -> dict:
         """Is the design order still adequate for the CURRENT box?  The
         order is compiled in; if the system expanded past the design margin
-        this reports the order it would need now (syncs the device)."""
+        this reports the order it would need now (syncs the device).
+
+        Adaptive mode: accuracy is scale-free, so health is CAPACITY --
+        the evolving distribution must still fit the compiled occupied-
+        cell and P2P-pair capacities (host replica of the device
+        structures)."""
         from murb_tpu.ops.fmm import fmm_order
         from murb_tpu.ops.proxy import half_extent, required_order
+
+        if self.near_mode == "adaptive":
+            from murb_tpu.ops.p2p import estimate_brick_pairs, size_pmax
+            from murb_tpu.ops.sparse_fmm import level_stats
+
+            plan = self._plan
+            q = self._active_q()
+            stats = level_stats(q, plan.dense_levels, plan.levels)
+            cells_ok = all(nc <= cap for nc, cap
+                           in zip(stats, plan.cell_caps))
+            npairs = estimate_brick_pairs(q, self._state.npad,
+                                          plan.levels)
+            pairs_ok = size_pmax(npairs, margin=1.0) <= plan.p2p_pmax
+            return {
+                "using_proxy": True,
+                "m": self.m,
+                "cells": 1,
+                "levels": plan.levels,
+                "near": "adaptive",
+                "required_m_now": self.m,   # scale-free
+                "n_cells_now": tuple(stats),
+                "cell_caps": plan.cell_caps,
+                "p2p_pairs_now": npairs,
+                "p2p_pmax": plan.p2p_pmax,
+                "ok": cells_ok and pairs_ok,
+            }
 
         half = half_extent(self._state.unpadded())
         if self.levels:
@@ -793,7 +981,8 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=None, metrics_method: str = "exact",
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
-                 fused_fmm: tuple = (), m2l_dots: str = "fp32",
+                 fused_fmm: tuple = (), fused_adaptive=None,
+                 m2l_dots: str = "fp32",
                  validated_half: float | None = None, **kw):
         super().__init__(bodies, soft, dt, num_iterations=num_iterations,
                          acc_fn=acc_fn, **kw)
@@ -803,10 +992,13 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         self._metric_dtype = _resolve_metric_dtype(metric_dtype)
         self._metrics_method = metrics_method
         self._metrics_proxy_m = metrics_proxy_m
-        if fused_proxy_m and fused_fmm:
-            raise ValueError("fused_proxy_m and fused_fmm are exclusive")
+        if sum(map(bool, (fused_proxy_m, fused_fmm,
+                          fused_adaptive is not None))) > 1:
+            raise ValueError("fused_proxy_m / fused_fmm / fused_adaptive "
+                             "are exclusive")
         self._fused_proxy_m = fused_proxy_m
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
+        self._fused_adaptive = fused_adaptive  # SparsePlan or None
         self._m2l_dots = _check_m2l_dots(m2l_dots)
         self._validated_half = validated_half
         self._mscales = metrics_mod.metric_scales(self._state)
@@ -822,10 +1014,12 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         """Shared phase body: force (and fused phi) at positions p, then
         ``finish(acc) -> (new_state, new_aux)``, then metrics at the new
         visible state (whose positions are p -- see class docstring)."""
-        if self._fused_proxy_m or self._fused_fmm:
+        if (self._fused_proxy_m or self._fused_fmm
+                or self._fused_adaptive is not None):
             acc, phi = _fused_force_phi(
                 px, py, pz, gm, self.soft,
                 self._fused_proxy_m, self._fused_fmm, self._m2l_dots,
+                self._fused_adaptive,
             )
             ns, na = finish(acc)
             return ns, na, acc, _phi_metrics(ns, phi, self.soft,
@@ -840,7 +1034,8 @@ class LeapfrogTrackingEngine(LeapfrogEngine):
         ProxyEngine.proxy_health); None when using neither."""
         return _fused_proxy_health(self._state, self.soft,
                                    self._fused_proxy_m, self._fused_fmm,
-                                   self._validated_half)
+                                   self._validated_half,
+                                   self._fused_adaptive)
 
     def _build_phase_steps(self):
         dt = self._dt
@@ -957,7 +1152,8 @@ class TrackingEngine(EulerAccelEngine):
                  history: SimulationHistory | None = None, acc_fn=None,
                  metric_dtype=None, metrics_method: str = "exact",
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
-                 fused_fmm: tuple = (), m2l_dots: str = "fp32",
+                 fused_fmm: tuple = (), fused_adaptive=None,
+                 m2l_dots: str = "fp32",
                  validated_half: float | None = None, **kw):
         kwargs = {}
         if soft is not None:
@@ -980,9 +1176,12 @@ class TrackingEngine(EulerAccelEngine):
         self._metrics_method = metrics_method
         self._metrics_proxy_m = metrics_proxy_m
         self._fused_proxy_m = fused_proxy_m
-        if fused_proxy_m and fused_fmm:
-            raise ValueError("fused_proxy_m and fused_fmm are exclusive")
+        if sum(map(bool, (fused_proxy_m, fused_fmm,
+                          fused_adaptive is not None))) > 1:
+            raise ValueError("fused_proxy_m / fused_fmm / fused_adaptive "
+                             "are exclusive")
         self._fused_fmm = tuple(fused_fmm)  # (m, levels) or ()
+        self._fused_adaptive = fused_adaptive  # SparsePlan or None
         self._m2l_dots = _check_m2l_dots(m2l_dots)
         self._validated_half = validated_half
         self._mscales = metrics_mod.metric_scales(self._state)
@@ -1005,10 +1204,12 @@ class TrackingEngine(EulerAccelEngine):
         (acceleration -> metrics -> update, ref:
         SimulationNBodyCUDAPropertyTracking.cu:121-133)."""
         dt = self._dt
-        if self._fused_proxy_m or self._fused_fmm:
+        if (self._fused_proxy_m or self._fused_fmm
+                or self._fused_adaptive is not None):
             acc, phi = _fused_force_phi(
                 state.qx, state.qy, state.qz, self._gm(state), self.soft,
                 self._fused_proxy_m, self._fused_fmm, self._m2l_dots,
+                self._fused_adaptive,
             )
             mets = _phi_metrics(state, phi, self.soft, self._metric_dtype,
                                 self._mscales)
@@ -1029,7 +1230,8 @@ class TrackingEngine(EulerAccelEngine):
         ProxyEngine.proxy_health); None when using neither."""
         return _fused_proxy_health(self._state, self.soft,
                                    self._fused_proxy_m, self._fused_fmm,
-                                   self._validated_half)
+                                   self._validated_half,
+                                   self._fused_adaptive)
 
     def compute_one_iteration(self):
         if self._tracked_step is None:

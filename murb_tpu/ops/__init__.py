@@ -10,17 +10,19 @@ from functools import partial
 
 def make_acc_fn(name: str = "auto", *, block_i: int = 0, block_j: int = 0,
                 chunk: int = 1024, m: int = 16, passes: int = 2,
-                levels: int = 2):
+                levels: int = 2, plan=None):
     """Resolve an acceleration kernel by name.
 
-    auto    -- hybrid on TPU, chunked elsewhere
-    naive   -- full-broadcast oracle (O(N^2) memory)
-    chunked -- i-chunked XLA sweep
-    tile    -- Pallas all-VPU tile kernel
-    hybrid  -- Pallas VPU+MXU flagship (exact)
-    mxu     -- norm-expansion MXU kernel (experiment)
-    proxy   -- Chebyshev proxy fast solver (fixed m; caller owns validity)
-    fmm     -- L-level Chebyshev hierarchy (fixed m/levels; scale-free)
+    auto     -- hybrid on TPU, chunked elsewhere
+    naive    -- full-broadcast oracle (O(N^2) memory)
+    chunked  -- i-chunked XLA sweep
+    tile     -- Pallas all-VPU tile kernel
+    hybrid   -- Pallas VPU+MXU flagship (exact)
+    mxu      -- norm-expansion MXU kernel (experiment)
+    proxy    -- Chebyshev proxy fast solver (fixed m; caller owns validity)
+    fmm      -- L-level Chebyshev hierarchy (fixed m/levels; scale-free)
+    adaptive -- occupied-cell sparse hierarchy + exact P2P near field
+                (requires ``plan``: ops/sparse_fmm.SparsePlan)
     """
     import jax
 
@@ -55,7 +57,15 @@ def make_acc_fn(name: str = "auto", *, block_i: int = 0, block_j: int = 0,
         from murb_tpu.ops.fmm import acc_fmm
 
         return partial(acc_fmm, m=m, levels=levels)
+    if name == "adaptive":
+        from murb_tpu.ops.sparse_fmm import acc_adaptive
+
+        if plan is None:
+            raise ValueError("kernel 'adaptive' needs a SparsePlan "
+                             "(ops/sparse_fmm.plan_adaptive)")
+        return lambda qx, qy, qz, gm, soft: acc_adaptive(
+            qx, qy, qz, gm, soft, plan)
     raise ValueError(
         f"unknown kernel {name!r} "
-        "(auto, naive, chunked, tile, hybrid, mxu, proxy, fmm)"
+        "(auto, naive, chunked, tile, hybrid, mxu, proxy, fmm, adaptive)"
     )

@@ -598,23 +598,16 @@ _ANTERP_US_PER_BODY = 0.38
 _EXACT_SLOTS_PER_MS = 3.9e9
 
 
-def plan_cost_ms(q: np.ndarray, npad: int, m: int, dense_levels: int,
-                 levels: int, nf: int = 3) -> float:
-    """Estimated adaptive step cost in MILLISECONDS on a v5e, from the
-    measured stage rates above -- honest enough that the engine policy
-    only picks the adaptive solver where it actually beats the exact
-    kernel (at N ~ 80k the exact kernel sits at the VPU ceiling and
-    wins; clustered boxes at larger N flip it)."""
+def _cost_from_stats(stats, n_bricks, npad, m, dense_levels, levels,
+                     nf: int = 3) -> float:
     NO = len(_far_offsets()[0])
-    stats = level_stats(q, dense_levels, levels)
     m2l = 0.0
     for nc in stats:
         rows = NO * nc
         m2l += rows * m ** 6 * nf / _MAC_PER_MS
         m2l += rows * m ** 3 * 4 / _GATHER_BYTES_PER_MS
     m2l += 686 * 8 ** dense_levels * m ** 6 * nf / _MAC_PER_MS  # dense base
-    p2p = (estimate_brick_pairs(q, npad, levels) * DEFAULT_K ** 2 * 26
-           / _P2P_SLOTS_PER_MS)
+    p2p = n_bricks * DEFAULT_K ** 2 * 26 / _P2P_SLOTS_PER_MS
     anterp = npad * _ANTERP_US_PER_BODY / 1e3
     misc = 0.5 * (levels - dense_levels) + 2.0      # sorts, uniques, chains
     # end-to-end fudge: the full solve measured ~2x the stage sum on the
@@ -625,20 +618,62 @@ def plan_cost_ms(q: np.ndarray, npad: int, m: int, dense_levels: int,
     return 2.0 * (m2l + p2p + anterp + misc)
 
 
+def plan_cost_ms(q: np.ndarray, npad: int, m: int, dense_levels: int,
+                 levels: int, nf: int = 3) -> float:
+    """Estimated adaptive step cost in MILLISECONDS on a v5e, from the
+    measured stage rates above -- honest enough that the engine policy
+    only picks the adaptive solver where it actually beats the exact
+    kernel (at N ~ 80k the exact kernel sits at the VPU ceiling and
+    wins; clustered boxes at larger N flip it)."""
+    return _cost_from_stats(level_stats(q, dense_levels, levels),
+                            estimate_brick_pairs(q, npad, levels),
+                            npad, m, dense_levels, levels, nf)
+
+
 def exact_cost_ms(npad: int) -> float:
     """The exact hybrid kernel's measured cost model (VPU ceiling)."""
     return 14.0 * npad * npad / _EXACT_SLOTS_PER_MS
+
+
+#: measured error prefactor of the adaptive far shell (uniform box,
+#: worst |o|_inf = 2 pairs): err ~ C * rho^-m with rho = 2 + sqrt(5);
+#: measured C ~ 0.6-0.75 (m=4: 2.4e-3, m=6: 1.1e-4, m=8: 3e-6).  1.0 is
+#: the safe initial pick; the engines validate by measurement anyway.
+ADAPTIVE_ERR_PREFACTOR = 1.0
+
+
+def adaptive_order(tol: float = 1e-4) -> int:
+    """Initial Chebyshev order for the adaptive (P2P near field) solver:
+    scale-free -- the binding constraint is the |o|_inf >= 2 far shell,
+    whose separation ratio rho = 2 + sqrt(5) is independent of both the
+    box and the softening.  Rounded up to even (the validation ladder's
+    rungs); the engine's measured validation descends/escalates from
+    here."""
+    rho = 2.0 + math.sqrt(5.0)
+    m = math.ceil(math.log(ADAPTIVE_ERR_PREFACTOR / max(tol, 1e-12))
+                  / math.log(rho))
+    return max(4, m + (m % 2))
 
 
 def best_adaptive_plan(q: np.ndarray, npad: int, m: int,
                        max_levels: int = 9) -> tuple[SparsePlan, float]:
     """(plan, est_ms): the cheapest (dense_levels, levels) combo for the
     current distribution.  Dense levels stay shallow (the 8^Ld M2L
-    term); the finest level trades P2P pairs against sparse M2L rows."""
+    term); the finest level trades P2P pairs against sparse M2L rows.
+
+    The expensive host inputs are shared across candidates: per-level
+    occupied counts come from ONE finest-grid assignment (cells at level
+    l are the L_max cells shifted down), brick-pair estimates from one
+    sort per candidate finest level."""
+    per_level = level_stats(q, 2, max_levels)      # levels 3..max
+    nc_at = {l: per_level[l - 3] for l in range(3, max_levels + 1)}
+    bricks_at = {L: estimate_brick_pairs(q, npad, L)
+                 for L in range(3, max_levels + 1)}
     best = None
     for Ld in (2, 3):
         for L in range(Ld + 1, max_levels + 1):
-            cost = plan_cost_ms(q, npad, m, Ld, L)
+            stats = [nc_at[l] for l in range(Ld + 1, L + 1)]
+            cost = _cost_from_stats(stats, bricks_at[L], npad, m, Ld, L)
             if best is None or cost < best[0]:
                 best = (cost, Ld, L)
     cost, Ld, L = best

@@ -63,6 +63,7 @@ class MurbConfig:
     autotune: bool = False                   # first-use block-size sweep
     m2l_dots: str = "fp32"                   # FMM M2L matmul tier
     tol: float = 1e-4                        # fast-solver force-error target
+    near: str = "auto"                       # tpu+proxy near-field mode
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -163,7 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--kernel", type=str, default="auto",
                      help="acceleration kernel for tracking/leapfrog/kdk "
                           "engines: auto|naive|chunked|tile|hybrid|mxu|"
-                          "proxy|fmm.")
+                          "proxy|fmm|adaptive (fmm falls through to "
+                          "adaptive when the dense hierarchy cannot meet "
+                          "--tol on the box).")
     ext.add_argument("--autotune", action="store_true", default=False,
                      help="sweep Pallas block sizes on first use of this "
                           "(kernel, N) and persist the winner beside the "
@@ -184,6 +187,17 @@ def build_parser() -> argparse.ArgumentParser:
                           "force err); bf16x3 = 3-pass splits (~20%% "
                           "faster, ~3e-4 err); mixed = fp32 near shell + "
                           "bf16x3 far shell.")
+    ext.add_argument("--near", dest="near", default="auto",
+                     choices=("auto", "interp", "adaptive"),
+                     help="tpu+proxy near-field mode: interp = the dense "
+                          "hierarchy's interpolated near list (needs "
+                          "finest cells ~ softening); adaptive = the "
+                          "occupied-cell sparse hierarchy with an exact "
+                          "P2P stage (scale-free: clustered boxes at any "
+                          "softening); auto (default) = interp when "
+                          "feasible, adaptive when its measured-rate "
+                          "cost model beats the exact kernel, else the "
+                          "exact fallback.")
     ext.add_argument("--adapt-every", dest="adapt_every", type=int,
                      default=None,
                      help="re-derive the proxy/fmm order from the current "

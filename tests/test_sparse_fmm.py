@@ -134,6 +134,71 @@ def test_level_stats_replicates_capacity_needs():
     assert stats == sorted(stats)
 
 
+def _cluster_bodies(n=2000, seed=7):
+    from murb_tpu.core.state import BodyState
+
+    rng = np.random.default_rng(seed)
+    q = np.concatenate([
+        rng.normal(0, 1.0, (n // 2, 3)) + [-50.0, 0.0, 0.0],
+        rng.normal(0, 1.0, (n - n // 2, 3)) + [50.0, 10.0, -5.0],
+    ]).astype(np.float32)
+    v = rng.normal(0, 1e-3, (n, 3)).astype(np.float32)
+    # masses ~1e10 make G*m order-1 in these model units, so a few
+    # dt=1e-3 steps move bodies measurably (a vacuous trajectory
+    # comparison would pass on frozen positions)
+    m = (rng.uniform(0.5, 2.0, n) * 1e10).astype(np.float32)
+    r = np.ones(n, np.float32)
+    return BodyState.from_arrays(m, r, q[:, 0], q[:, 1], q[:, 2],
+                                 v[:, 0], v[:, 1], v[:, 2])
+
+
+def test_proxy_engine_adaptive_trajectory_matches_oracle():
+    """--im tpu+proxy --near adaptive through the ENGINE: trajectories
+    track the naive oracle on the clustered wide box (the repo's
+    standard differential discipline, ref test_SimulationNBody.cpp)."""
+    from murb_tpu.models.engines import NaiveEngine, ProxyEngine
+
+    soft, dt = 0.01, 1e-3
+    ref = NaiveEngine(_cluster_bodies(), soft=soft, dt=dt)
+    eng = ProxyEngine(_cluster_bodies(), soft=soft, dt=dt,
+                      near="adaptive", validate=True)
+    assert eng.near_mode == "adaptive"
+    assert eng.using_proxy
+    assert eng.validated_err is not None and eng.validated_err <= 1e-4
+    for _ in range(3):
+        ref.compute_one_iteration()
+        eng.compute_one_iteration()
+    a = eng.bodies.unpadded()
+    b = ref.bodies.unpadded()
+    for k in ("qx", "qy", "qz"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-3, atol=1e-6)
+
+
+def test_proxy_engine_adaptive_health_contract():
+    from murb_tpu.models.engines import ProxyEngine
+
+    eng = ProxyEngine(_cluster_bodies(), soft=0.01, dt=1e-3,
+                      near="adaptive", validate=False)
+    h = eng.proxy_health()
+    assert h["near"] == "adaptive"
+    assert h["ok"]
+    assert h["required_m_now"] == eng.m  # scale-free accuracy
+    assert len(h["n_cells_now"]) == len(h["cell_caps"])
+
+
+def test_proxy_engine_auto_declines_adaptive_at_small_n():
+    """near='auto' only leaves the exact kernel when the measured-rate
+    cost model says the adaptive solver actually wins; at 2k bodies the
+    exact sweep is microseconds, so the clustered box (which the interp
+    policy rejects) must land on the exact fallback, not on a slower
+    fast path."""
+    from murb_tpu.models.engines import ProxyEngine
+
+    eng = ProxyEngine(_cluster_bodies(), soft=0.01, dt=1e-3, near="auto")
+    assert eng.near_mode == "interp"
+    assert not eng.using_proxy  # honest exact fallback
+
+
 def test_plan_is_static_and_hashable():
     """SparsePlan must stay a valid jit static argument."""
     (_, q) = _two_clusters(n=2000, npad=2048)
