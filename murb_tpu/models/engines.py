@@ -119,8 +119,8 @@ def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm,
     if fused_adaptive is not None:
         import numpy as np
 
-        from murb_tpu.ops.p2p import estimate_brick_pairs, size_pmax
-        from murb_tpu.ops.sparse_fmm import level_stats
+        from murb_tpu.ops.p2p import estimate_brick_pairs
+        from murb_tpu.ops.sparse_fmm import level_stats, p2p_capacity_needed
 
         u = state.unpadded()
         sel = u["m"] > 0
@@ -130,7 +130,8 @@ def _fused_proxy_health(state, soft, fused_proxy_m, fused_fmm,
         stats = level_stats(q, plan.dense_levels, plan.levels)
         cells_ok = all(nc <= cap for nc, cap in zip(stats, plan.cell_caps))
         npairs = estimate_brick_pairs(q, state.npad, plan.levels)
-        pairs_ok = size_pmax(npairs, margin=1.0) <= plan.p2p_pmax
+        pairs_ok = p2p_capacity_needed(npairs, state.npad,
+                                       plan) <= plan.p2p_pmax
         return {
             "using_proxy": True,
             "m": plan.m,
@@ -747,8 +748,11 @@ class ProxyEngine(EulerAccelEngine):
         from murb_tpu.ops.proxy import half_extent, required_order
 
         if self.near_mode == "adaptive":
-            from murb_tpu.ops.p2p import estimate_brick_pairs, size_pmax
-            from murb_tpu.ops.sparse_fmm import level_stats
+            from murb_tpu.ops.p2p import estimate_brick_pairs
+            from murb_tpu.ops.sparse_fmm import (
+                level_stats,
+                p2p_capacity_needed,
+            )
 
             plan = self._plan
             q = self._active_q()
@@ -757,7 +761,8 @@ class ProxyEngine(EulerAccelEngine):
                            in zip(stats, plan.cell_caps))
             npairs = estimate_brick_pairs(q, self._state.npad,
                                           plan.levels)
-            pairs_ok = size_pmax(npairs, margin=1.0) <= plan.p2p_pmax
+            pairs_ok = p2p_capacity_needed(npairs, self._state.npad,
+                                           plan) <= plan.p2p_pmax
             return {
                 "using_proxy": True,
                 "m": self.m,

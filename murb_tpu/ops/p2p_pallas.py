@@ -1,0 +1,268 @@
+"""Pallas block-sparse P2P sweep: the near-field pair kernel.
+
+The jnp brick-pair sweep (ops/p2p.p2p_sweep) is gather-bound on XLA:TPU:
+row-gathers of (128,)-wide brick rows run ~22 GB/s effective, so the
+sweep realizes ~5% of the VPU (measured 2.3 s of a 3.6 s step at N=1M
+clustered; 57 ms at the 82k merger vs a ~15 ms slot bound).  This kernel
+replaces the gathers with hardware DMAs:
+
+  grid      one step per G consecutive pairs of a TARGET-MAJOR pair
+            list, padded so every target brick's run is a multiple of G
+            -- each step owns ONE target brick.
+  prefetch  the per-step target index and the per-pair source indices
+            are scalar-prefetched (SMEM), so the target block's DMA is
+            driven by the index map (consecutive steps with the same
+            target reuse the resident block) and the G source bricks
+            are fetched with explicit ``make_async_copy`` calls from an
+            HBM-resident (B, 8, K) field pack.
+  compute   per source brick: the acc_rect broadcast pattern on (K, K)
+            with the exact cell-offset near mask (brick pairing is
+            conservative; the mask decides per body pair).
+  output    (B, 4, K) accumulated in VMEM across each target's run
+            (flash-attention-style revisit: initialize on the run's
+            first step, add on the rest).
+
+Field pack rows: [x, y, z, gm_src, cx, cy, cz, 0]; row 3 is zero for
+inactive bodies (ghost padding, heavy-split) and rows 4-6 carry the
+sentinel cell coords that make the near mask exclude them.  Pad pairs
+carry source index -1 and contribute exactly zero.
+
+Same contract as ops/p2p.p2p_sweep: self pairs land at distance 0 (zero
+force through the softening; the standard Gm_i/eps self-potential,
+ref: SimulationNBodyCUDAPropertyTracking.cu:296-302).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from murb_tpu.ops.common import Accel
+
+#: pairs per grid step: amortizes per-step overheads over G (K, K)
+#: rect blocks (~G * 0.4 Mslots of VPU work) while keeping the unrolled
+#: kernel body and the (G, 8, K) source buffer small.
+DEFAULT_G = 16
+
+_K = 128  # brick size: one VPU lane row (ops/p2p.DEFAULT_K)
+
+
+def _kernel(tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf, sem,
+            *, G: int, soft2: float, with_phi: bool):
+    # tb_ref: scalar-prefetched per-step target indices (SMEM; drives
+    # the index maps).  sb_ref: this step's G source indices as a VMEM
+    # block -- the full per-pair array exceeds the 1 MB SMEM at real
+    # pair counts (measured: 318k pairs = 1.27 MB), and G is a static
+    # unroll so the reads below are static-index scalar loads.  The
+    # (1, 1, G) block satisfies Mosaic's tiling rule by making the last
+    # two block dims EQUAL the array dims (a (1, G) block is rejected:
+    # second-to-last must be 8-divisible or whole).
+    s = pl.program_id(0)
+
+    # fetch the G source bricks of this step (pad indices read brick 0;
+    # their contribution is zeroed below)
+    copies = []
+    for g in range(G):
+        idx = jnp.maximum(sb_ref[0, 0, g], 0)
+        copies.append(pltpu.make_async_copy(
+            data_ref.at[idx], src_buf.at[g], sem))
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    xt = tgt_ref[0, 0, :].reshape(_K, 1)
+    yt = tgt_ref[0, 1, :].reshape(_K, 1)
+    zt = tgt_ref[0, 2, :].reshape(_K, 1)
+    cxt = tgt_ref[0, 4, :].reshape(_K, 1)
+    cyt = tgt_ref[0, 5, :].reshape(_K, 1)
+    czt = tgt_ref[0, 6, :].reshape(_K, 1)
+
+    nf = 4 if with_phi else 3
+    acc = [jnp.zeros((_K,), jnp.float32) for _ in range(nf)]
+    one = jnp.float32(1.0)
+    for g in range(G):
+        valid = (sb_ref[0, 0, g] >= 0).astype(jnp.float32)
+        xs = src_buf[g, 0, :].reshape(1, _K)
+        ys = src_buf[g, 1, :].reshape(1, _K)
+        zs = src_buf[g, 2, :].reshape(1, _K)
+        gs = src_buf[g, 3, :].reshape(1, _K)
+        cxs = src_buf[g, 4, :].reshape(1, _K)
+        cys = src_buf[g, 5, :].reshape(1, _K)
+        czs = src_buf[g, 6, :].reshape(1, _K)
+
+        dx = xs - xt                                   # (K, K)
+        dy = ys - yt
+        dz = zs - zt
+        inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz
+                            + jnp.float32(soft2))
+        near = (
+            (jnp.abs(cxs - cxt) <= one)
+            & (jnp.abs(cys - cyt) <= one)
+            & (jnp.abs(czs - czt) <= one)
+        )
+        w0 = jnp.where(near, gs * valid, 0.0)
+        w = w0 * (inv * inv * inv)
+        acc[0] = acc[0] + jnp.sum(w * dx, 1)
+        acc[1] = acc[1] + jnp.sum(w * dy, 1)
+        acc[2] = acc[2] + jnp.sum(w * dz, 1)
+        if with_phi:
+            acc[3] = acc[3] + jnp.sum(w0 * inv, 1)
+
+    contrib = jnp.stack(acc + [jnp.zeros((_K,), jnp.float32)]
+                        * (4 - nf))                    # (4, K)
+    first = jnp.logical_or(s == 0,
+                           tb_ref[s] != tb_ref[jnp.maximum(s - 1, 0)])
+
+    @pl.when(first)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def build_pair_runs(adj, pmax: int, G: int = DEFAULT_G):
+    """Target-major pair list with per-target runs padded to multiples
+    of G: (tb_step (pmax/G,), sb (pmax,), n_padded ()).
+
+    Pad entries carry sb = -1 (zero contribution in-kernel); steps past
+    the last real run keep the last target index so the output-block
+    revisit sequence stays monotone.  n_padded > pmax means dropped
+    pairs -- the caller's health contract."""
+    B = adj.shape[0]
+    counts = jnp.sum(adj, 1)                           # (B,)
+    padded = (counts + G - 1) // G * G
+    starts = jnp.concatenate([jnp.zeros(1, padded.dtype),
+                              jnp.cumsum(padded)[:-1]])
+    n_padded = jnp.sum(padded)
+
+    rank = jnp.cumsum(adj, 1) - 1
+    pos = jnp.where(adj, starts[:, None] + rank, pmax)
+    pos = jnp.minimum(pos, pmax)
+    sb = jnp.full(pmax + 1, -1, jnp.int32)
+    svals = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None], (B, B))
+    sb = sb.at[pos.reshape(-1)].set(svals.reshape(-1), mode="drop")[:pmax]
+
+    nsteps = pmax // G
+    cum_steps = jnp.cumsum(padded // G)
+    tb_step = jnp.searchsorted(
+        cum_steps, jnp.arange(nsteps, dtype=cum_steps.dtype), side="right"
+    ).astype(jnp.int32)
+    tb_step = jnp.minimum(tb_step, B - 1)
+    return tb_step, sb, n_padded
+
+
+def size_pmax_runs(n_pairs: int, n_bricks: int, G: int = DEFAULT_G,
+                   margin: float = 1.5) -> int:
+    """Static capacity for the run-padded pair list: margined estimate
+    plus worst-case per-target padding, rounded to G."""
+    want = int(n_pairs * margin) + n_bricks * (G - 1)
+    return max((want + G - 1) // G * G, G)
+
+
+def p2p_sweep_pallas(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
+                     G: int = DEFAULT_G, with_phi: bool = False,
+                     interpret: bool | None = None):
+    """Drop-in Pallas counterpart of ops/p2p.p2p_sweep (same contract:
+    (acc (n, 3), phi | None, n_pairs) in original body order; ``pmax``
+    here is the RUN-PADDED capacity, size with size_pmax_runs).
+    ``interpret`` auto-selects off-TPU (no bf16 splits, so the
+    interpret-folding hazard of CLAUDE.md does not apply here)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from murb_tpu.ops.common import f32_inputs
+    from murb_tpu.ops.p2p import (
+        _SENTINEL_SHIFT,
+        _adjacency,
+        _brick_boxes,
+        _cell_ixyz,
+        morton_key,
+    )
+
+    qx32, qy32, qz32, gm32 = f32_inputs(qx, qy, qz, gm_src)
+    dtype = qx.dtype
+    n = qx.shape[0]
+    K = _K
+    assert n % K == 0 and pmax % G == 0, (n, K, pmax, G)
+    B = n // K
+
+    cx, cy, cz = _cell_ixyz(qx32, qy32, qz32,
+                            *f32_inputs(c, h), C)
+    active = gm32 > 0
+    key = morton_key(cx, cy, cz, C)
+    key = jnp.where(active, key, jnp.int32(np.iinfo(np.int32).max))
+    perm = jnp.argsort(key)
+
+    sent = jnp.int32(2 * C + _SENTINEL_SHIFT)
+    ci = tuple(
+        jnp.where(active, v, sent)[perm].astype(jnp.float32)
+        for v in (cx, cy, cz)
+    )
+    xs, ys, zs, gs = (v[perm] for v in (qx32, qy32, qz32, gm32))
+
+    lo, hi = _brick_boxes(ci, K)
+    adj = _adjacency(lo, hi)
+    n_pairs = jnp.sum(adj.astype(jnp.int32))
+    tb_step, sb, _n_padded = build_pair_runs(adj, pmax, G)
+
+    resh = lambda a: a.reshape(B, 1, K)
+    data = jnp.concatenate(
+        [resh(xs), resh(ys), resh(zs), resh(gs),
+         resh(ci[0]), resh(ci[1]), resh(ci[2]),
+         jnp.zeros((B, 1, K), jnp.float32)], axis=1)   # (B, 8, K)
+
+    soft2 = float(soft) ** 2
+    nsteps = pmax // G
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                         # tb_step only
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 8, K),
+                         lambda s, tb: (tb[s], 0, 0)),      # target block
+            pl.BlockSpec(memory_space=pltpu.ANY),           # HBM pack
+            pl.BlockSpec((1, 1, G), lambda s, tb: (s, 0, 0)),  # source idxs
+        ],
+        out_specs=pl.BlockSpec((1, 4, K),
+                               lambda s, tb: (tb[s], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 8, K), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, G=G, soft2=soft2, with_phi=with_phi),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 4, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(tb_step, data, data, sb.reshape(nsteps, 1, G))
+
+    unsort = lambda a: (jnp.zeros(n, jnp.float32).at[perm]
+                        .set(a.reshape(n)).astype(dtype))
+    acc = jnp.stack([unsort(out[:, 0]), unsort(out[:, 1]),
+                     unsort(out[:, 2])], 1)
+    phi = unsort(out[:, 3]) if with_phi else None
+    return acc, phi, n_pairs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("soft", "C", "pmax", "G", "with_phi",
+                              "interpret"),
+)
+def acc_p2p_pallas(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
+                   G: int = DEFAULT_G, with_phi: bool = False,
+                   interpret: bool | None = None):
+    """Jitted standalone entry (tests/benchmarks); engines call
+    p2p_sweep_pallas inside their own jit."""
+    acc, phi, n_pairs = p2p_sweep_pallas(
+        qx, qy, qz, gm_src, c, h, soft, C=C, pmax=pmax, G=G,
+        with_phi=with_phi, interpret=interpret)
+    return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2]), phi, n_pairs

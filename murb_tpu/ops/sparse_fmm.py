@@ -87,6 +87,10 @@ class SparsePlan(NamedTuple):
     cell_caps: tuple
     p2p_pmax: int
     p2p_chunk: int = P2P_CHUNK
+    #: near-field sweep implementation: "pallas" (the block-sparse DMA
+    #: kernel, TPU; p2p_pmax is then the RUN-padded capacity) or "jnp"
+    #: (the gather-based sweep, any backend; chunk-padded capacity)
+    p2p_impl: str = "jnp"
 
 
 # ------------------------------------------------------------ id helpers
@@ -191,8 +195,15 @@ def p2m_sparse(qx, qy, qz, gm_eff, c, h, cells, *, m: int, C: int,
         return jax.ops.segment_sum(outer, _slot(cells, cid),
                                    num_segments=cap + 1)
 
-    parts = jax.lax.map(one, (resh(qx), resh(qy), resh(qz), resh(gm_eff)))
-    return jnp.sum(parts, axis=0)
+    # accumulate in the scan carry: a map + sum would materialize
+    # (n/chunk, cap+1, m^3) -- 9.8 GB at N=1M, cap=22k (measured OOM)
+    def step(acc, args):
+        return acc + one(args), None
+
+    acc0 = jnp.zeros((cap + 1, m ** 3), qx.dtype)
+    acc, _ = jax.lax.scan(step, acc0,
+                          (resh(qx), resh(qy), resh(qz), resh(gm_eff)))
+    return acc
 
 
 def l2p_sparse(qx, qy, qz, c, h, cells, fields, *, m: int, C: int,
@@ -490,10 +501,18 @@ def solve_adaptive(qx, qy, qz, gm, soft, plan: SparsePlan, *, heavy_k: int,
                                  with_phi, m2l_dots)
     acc = jnp.stack(vals[:3], 1)
 
-    acc_near, phi_near, _np = p2p_sweep(
-        qx, qy, qz, gm_eff, c, h, soft, C=2 ** plan.levels,
-        pmax=plan.p2p_pmax, chunk=plan.p2p_chunk, with_phi=with_phi,
-    )
+    if plan.p2p_impl == "pallas":
+        from murb_tpu.ops.p2p_pallas import p2p_sweep_pallas
+
+        acc_near, phi_near, _np = p2p_sweep_pallas(
+            qx, qy, qz, gm_eff, c, h, soft, C=2 ** plan.levels,
+            pmax=plan.p2p_pmax, with_phi=with_phi,
+        )
+    else:
+        acc_near, phi_near, _np = p2p_sweep(
+            qx, qy, qz, gm_eff, c, h, soft, C=2 ** plan.levels,
+            pmax=plan.p2p_pmax, chunk=plan.p2p_chunk, with_phi=with_phi,
+        )
     acc = acc + acc_near
 
     acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
@@ -574,16 +593,40 @@ def level_stats(q: np.ndarray, dense_levels: int, levels: int):
 
 def plan_adaptive(q: np.ndarray, npad: int, m: int, dense_levels: int,
                   levels: int, *, cell_margin: float = 1.3,
-                  p2p_margin: float = 1.5) -> SparsePlan:
+                  p2p_margin: float = 1.5,
+                  p2p_impl: str | None = None) -> SparsePlan:
     """Build a SparsePlan for the current distribution at the given
     geometry (margined static capacities; proxy_health re-checks them
-    as the system evolves, maybe_adapt re-plans on overflow)."""
+    as the system evolves, maybe_adapt re-plans on overflow).
+
+    ``p2p_impl`` defaults to the backend's best sweep: the Pallas
+    block-sparse kernel on TPU (measured 3x the jnp sweep at the 82k
+    merger), the jnp sweep elsewhere."""
+    if p2p_impl is None:
+        p2p_impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     stats = level_stats(q, dense_levels, levels)
     cell_caps = tuple(int(nc * cell_margin) + 9 for nc in stats)
-    pmax = size_pmax(estimate_brick_pairs(q, npad, levels),
-                     margin=p2p_margin)
+    est = estimate_brick_pairs(q, npad, levels)
+    if p2p_impl == "pallas":
+        from murb_tpu.ops.p2p_pallas import size_pmax_runs
+
+        pmax = size_pmax_runs(est, npad // DEFAULT_K, margin=p2p_margin)
+    else:
+        pmax = size_pmax(est, margin=p2p_margin)
     return SparsePlan(m=m, dense_levels=dense_levels, levels=levels,
-                      cell_caps=cell_caps, p2p_pmax=pmax)
+                      cell_caps=cell_caps, p2p_pmax=pmax,
+                      p2p_impl=p2p_impl)
+
+
+def p2p_capacity_needed(n_pairs: int, npad: int, plan: SparsePlan) -> int:
+    """The pair capacity the CURRENT distribution needs under the plan's
+    sweep implementation (the health-check counterpart of the sizing in
+    plan_adaptive, margin 1)."""
+    if plan.p2p_impl == "pallas":
+        from murb_tpu.ops.p2p_pallas import size_pmax_runs
+
+        return size_pmax_runs(n_pairs, npad // DEFAULT_K, margin=1.0)
+    return size_pmax(n_pairs, margin=1.0)
 
 
 #: measured v5e rates (merger probe, this round): the offset-scan M2L
@@ -593,9 +636,15 @@ def plan_adaptive(q: np.ndarray, npad: int, m: int, dense_levels: int,
 #: ~0.38 us/body at m=6; sorts/uniques/chains add ~0.5 ms per level.
 _MAC_PER_MS = 2.2e10
 _GATHER_BYTES_PER_MS = 150e9 / 1e3
-_P2P_SLOTS_PER_MS = 1.2e9
+_P2P_SLOTS_PER_MS = 1.2e9          # jnp sweep (gather-bound)
+_P2P_SLOTS_PER_MS_PALLAS = 2.1e9   # block-sparse DMA kernel (measured)
 _ANTERP_US_PER_BODY = 0.38
 _EXACT_SLOTS_PER_MS = 3.9e9
+
+
+def _p2p_rate() -> float:
+    return (_P2P_SLOTS_PER_MS_PALLAS
+            if jax.default_backend() == "tpu" else _P2P_SLOTS_PER_MS)
 
 
 def _cost_from_stats(stats, n_bricks, npad, m, dense_levels, levels,
@@ -607,7 +656,7 @@ def _cost_from_stats(stats, n_bricks, npad, m, dense_levels, levels,
         m2l += rows * m ** 6 * nf / _MAC_PER_MS
         m2l += rows * m ** 3 * 4 / _GATHER_BYTES_PER_MS
     m2l += 686 * 8 ** dense_levels * m ** 6 * nf / _MAC_PER_MS  # dense base
-    p2p = n_bricks * DEFAULT_K ** 2 * 26 / _P2P_SLOTS_PER_MS
+    p2p = n_bricks * DEFAULT_K ** 2 * 26 / _p2p_rate()
     anterp = npad * _ANTERP_US_PER_BODY / 1e3
     misc = 0.5 * (levels - dense_levels) + 2.0      # sorts, uniques, chains
     # end-to-end fudge: the full solve measured ~2x the stage sum on the

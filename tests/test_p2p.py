@@ -194,6 +194,37 @@ def test_p2p_pair_capacity_reported():
     assert int(n_pairs) > small
 
 
+def test_p2p_pallas_matches_jnp_sweep():
+    """The block-sparse Pallas kernel (ops/p2p_pallas) reproduces the
+    jnp sweep bit-closely: same near-pair set (in-kernel mask), same
+    self-pair conventions; runs interpreted off-TPU, the real kernel on
+    the chip suite."""
+    from murb_tpu.ops.p2p_pallas import acc_p2p_pallas, size_pmax_runs
+
+    (qx, qy, qz, gm), q = _two_clusters()
+    npad = int(qx.shape[0])
+    soft = 0.01
+    C = 8
+    c, h = bounding_box(qx, qy, qz, gm > 0)
+    h = jnp.full_like(h, jnp.max(h))
+    est = estimate_brick_pairs(q, npad, 3)
+    ref_acc, ref_phi, np1 = p2p_sweep(qx, qy, qz, gm, c, h, soft, C=C,
+                                      pmax=size_pmax(est), with_phi=True)
+    a, phi, np2 = acc_p2p_pallas(qx, qy, qz, gm, c, h, soft, C=C,
+                                 pmax=size_pmax_runs(est, npad // 128),
+                                 with_phi=True)
+    assert int(np1) == int(np2)
+    an = np.stack([np.asarray(a.ax), np.asarray(a.ay), np.asarray(a.az)], 1)
+    rn = np.asarray(ref_acc)
+    nrm = np.linalg.norm(rn, axis=1)
+    sel = np.asarray(gm) > 0
+    err = (np.linalg.norm(an - rn, axis=1)
+           / np.maximum(nrm, nrm[sel].max() * 1e-6))[sel].max()
+    assert err <= 1e-5
+    np.testing.assert_allclose(np.asarray(phi)[sel],
+                               np.asarray(ref_phi)[sel], rtol=1e-5)
+
+
 def test_estimate_matches_device_count():
     """The host-side sizing replica agrees with the in-jit count (same
     sort, same sentinel handling) -- pmax sizing is only meaningful if
