@@ -459,8 +459,8 @@ class ProxyEngine(EulerAccelEngine):
         beats the exact kernel (or unconditionally when forced by
         ``near='adaptive'``).  At small N the exact kernel at the VPU
         ceiling wins and this honestly declines (measured: the 82k
-        merger runs 24 ms exact vs 216 ms adaptive; N=1M clustered flips
-        it, 4.75 s vs 3.64 s)."""
+        merger runs 24 ms exact vs 116 ms adaptive; N=1M clustered flips
+        it, 4.75 s exact vs 2.24 s)."""
         from murb_tpu.ops.sparse_fmm import (
             adaptive_order,
             best_adaptive_plan,
