@@ -148,10 +148,6 @@ def p2p_sweep(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
     """
     dtype = qx.dtype
     n = qx.shape[0]
-    assert n % K == 0, (n, K)
-    B = n // K
-    assert pmax % chunk == 0, (pmax, chunk)
-    soft2 = jnp.asarray(soft, dtype) ** 2
 
     cx, cy, cz = _cell_ixyz(qx, qy, qz, c, h, C)
     active = gm_src > 0
@@ -165,6 +161,29 @@ def p2p_sweep(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
         for v in (cx, cy, cz)
     )
     xs, ys, zs, gs = (v[perm] for v in (qx, qy, qz, gm_src))
+
+    acc, n_pairs = p2p_sweep_sorted(xs, ys, zs, gs, ci, soft, pmax=pmax,
+                                    K=K, chunk=chunk, with_phi=with_phi)
+
+    unsort = lambda a: jnp.zeros(n, dtype).at[perm].set(a.reshape(n))
+    out = jnp.stack([unsort(acc[0]), unsort(acc[1]), unsort(acc[2])], 1)
+    phi = unsort(acc[3]) if with_phi else None
+    return out, phi, n_pairs
+
+
+def p2p_sweep_sorted(xs, ys, zs, gs, ci, soft, *, pmax: int,
+                     K: int = DEFAULT_K, chunk: int = DEFAULT_CHUNK,
+                     with_phi: bool = False):
+    """Sweep core on MORTON-SORTED bodies (the shared sort of
+    solve_adaptive): ``ci`` = per-body cell coords (dtype floats,
+    sentinel rows for inactive).  Returns (nf-tuple of (B, K) partials
+    in SORTED order, n_pairs)."""
+    dtype = xs.dtype
+    n = xs.shape[0]
+    assert n % K == 0, (n, K)
+    B = n // K
+    assert pmax % chunk == 0, (pmax, chunk)
+    soft2 = jnp.asarray(soft, dtype) ** 2
 
     lo, hi = _brick_boxes(ci, K)
     adj = _adjacency(lo, hi)
@@ -215,11 +234,7 @@ def p2p_sweep(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
         return tuple(a.at[tbi].add(p) for a, p in zip(acc, parts)), None
 
     acc, _ = jax.lax.scan(body, acc0, (tb_c, sb_c, pv_c))
-
-    unsort = lambda a: jnp.zeros(n, dtype).at[perm].set(a.reshape(n))
-    out = jnp.stack([unsort(acc[0]), unsort(acc[1]), unsort(acc[2])], 1)
-    phi = unsort(acc[3]) if with_phi else None
-    return out, phi, n_pairs
+    return acc, n_pairs
 
 
 # ------------------------------------------------------ host-side sizing

@@ -177,20 +177,11 @@ def p2p_sweep_pallas(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from murb_tpu.ops.common import f32_inputs
-    from murb_tpu.ops.p2p import (
-        _SENTINEL_SHIFT,
-        _adjacency,
-        _brick_boxes,
-        _cell_ixyz,
-        morton_key,
-    )
+    from murb_tpu.ops.p2p import _SENTINEL_SHIFT, _cell_ixyz, morton_key
 
     qx32, qy32, qz32, gm32 = f32_inputs(qx, qy, qz, gm_src)
     dtype = qx.dtype
     n = qx.shape[0]
-    K = _K
-    assert n % K == 0 and pmax % G == 0, (n, K, pmax, G)
-    B = n // K
 
     cx, cy, cz = _cell_ixyz(qx32, qy32, qz32,
                             *f32_inputs(c, h), C)
@@ -205,6 +196,34 @@ def p2p_sweep_pallas(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
         for v in (cx, cy, cz)
     )
     xs, ys, zs, gs = (v[perm] for v in (qx32, qy32, qz32, gm32))
+
+    out, n_pairs = p2p_sweep_pallas_sorted(
+        xs, ys, zs, gs, ci, soft, pmax=pmax, G=G, with_phi=with_phi,
+        interpret=interpret)
+
+    unsort = lambda a: (jnp.zeros(n, jnp.float32).at[perm]
+                        .set(a.reshape(n)).astype(dtype))
+    acc = jnp.stack([unsort(out[:, 0]), unsort(out[:, 1]),
+                     unsort(out[:, 2])], 1)
+    phi = unsort(out[:, 3]) if with_phi else None
+    return acc, phi, n_pairs
+
+
+def p2p_sweep_pallas_sorted(xs, ys, zs, gs, ci, soft, *, pmax: int,
+                            G: int = DEFAULT_G, with_phi: bool = False,
+                            interpret: bool | None = None):
+    """Kernel core on MORTON-SORTED f32 inputs (the shared sort of
+    solve_adaptive): ``ci`` = per-body cell coords as f32 with sentinel
+    rows for inactive bodies.  Returns ((B, 4, K) partials in SORTED
+    brick order, n_pairs)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from murb_tpu.ops.p2p import _adjacency, _brick_boxes
+
+    n = xs.shape[0]
+    K = _K
+    assert n % K == 0 and pmax % G == 0, (n, K, pmax, G)
+    B = n // K
 
     lo, hi = _brick_boxes(ci, K)
     adj = _adjacency(lo, hi)
@@ -244,13 +263,7 @@ def p2p_sweep_pallas(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,
         ),
         interpret=interpret,
     )(tb_step, data, data, sb.reshape(nsteps, 1, G))
-
-    unsort = lambda a: (jnp.zeros(n, jnp.float32).at[perm]
-                        .set(a.reshape(n)).astype(dtype))
-    acc = jnp.stack([unsort(out[:, 0]), unsort(out[:, 1]),
-                     unsort(out[:, 2])], 1)
-    phi = unsort(out[:, 3]) if with_phi else None
-    return acc, phi, n_pairs
+    return out, n_pairs
 
 
 @functools.partial(

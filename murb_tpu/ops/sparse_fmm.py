@@ -7,13 +7,19 @@ with 0.2 kpc softening) need cells far smaller than that before the
 near-field work collapses.  This module extends the hierarchy below the
 dense levels with COMPACTED levels that store only occupied cells:
 
+  sort       ONE Morton argsort of the bodies per solve, shared by every
+             stage: the occupied-cell lists fall out of first-occurrence
+             flags (O(n), no second sort), anterpolation runs on
+             contiguous slot windows, and the P2P stage cuts its bricks
+             on the same order.  Cell ids are Morton codes throughout
+             (parent = >>3, octant = &7).
   occupancy  each sparse level l keeps a sorted, statically-capped list
-             of occupied cell ids (jnp.unique(size=cap)); slots are
-             found by searchsorted.  Every capacity is sized on the host
+             of occupied cell ids.  Every capacity is sized on the host
              from the ctor-time distribution (plan_adaptive) and
              health-checked as it evolves -- the same static-capacity
              contract as the P2P pair list.
-  upward     sparse P2M into finest-level slots; sparse M2M (8 per-octant
+  upward     windowed P2M into finest-level slots (one-hot matmuls into
+             dynamic-slice windows -- see p2m_window); sparse M2M (8 per-octant
              (m^3, m^3) matmuls -- Kronecker-factored transfer matrices
              precomputed on host, applied octant-grouped so the TPU sees
              pure matmuls, never (n, m, m, m) relayouts); the coarsest
@@ -65,7 +71,7 @@ from murb_tpu.ops.p2p import (
     DEFAULT_CHUNK as P2P_CHUNK,
     DEFAULT_K,
     estimate_brick_pairs,
-    p2p_sweep,
+    morton_key,
     size_pmax,
 )
 from murb_tpu.ops.proxy import _basis
@@ -94,12 +100,34 @@ class SparsePlan(NamedTuple):
 
 
 # ------------------------------------------------------------ id helpers
+#
+# Sparse-level cell ids are MORTON codes (Z-order), not row-major packs:
+#   parent(code) = code >> 3      octant(code) = code & 7
+#   (the bit convention of ops/p2p.morton_key: x<<2 | y<<1 | z per bit,
+#   so code & 7 == (cx&1)*4 + (cy&1)*2 + (cz&1) -- the _octant_transfer
+#   index)
+# and -- the load-bearing property -- sorting bodies by finest-level
+# Morton code makes their occupied-list SLOTS non-decreasing, which is
+# what lets the anterpolation run on contiguous slot windows (the
+# windowed one-hot matmuls below) AND gives the P2P stage tight brick
+# bboxes from the SAME sort.  Only the dense-grid handoff (ops/fmm
+# stores (C^3, m^3) row-major) converts coords.
 def _pack(cx, cy, cz, C: int):
+    """Row-major cell id -- the DENSE grid convention (ops/fmm)."""
     return (cx * C + cy) * C + cz
 
 
-def _unpack(cid, C: int):
-    return cid // (C * C), (cid // C) % C, cid % C
+def _munpack(code, C: int):
+    """(cx, cy, cz) from a Morton code on a C^3 grid."""
+    bits = max(int(C - 1).bit_length(), 1)
+    cx = jnp.zeros_like(code)
+    cy = jnp.zeros_like(code)
+    cz = jnp.zeros_like(code)
+    for b in range(bits):
+        cx = cx | (((code >> (3 * b + 2)) & 1) << b)
+        cy = cy | (((code >> (3 * b + 1)) & 1) << b)
+        cz = cz | (((code >> (3 * b)) & 1) << b)
+    return cx, cy, cz
 
 
 #: sentinel cell id for inactive rows / padding slots: sorts last, never
@@ -142,9 +170,24 @@ def _far_offsets() -> tuple[np.ndarray, np.ndarray]:
 
 
 # -------------------------------------------------------- occupied cells
-def _occupied(cids, cap: int):
-    """Sorted unique cell ids, statically capped (pad slots = _BIG)."""
-    return jnp.unique(cids, size=cap, fill_value=_BIG)
+def _occupied_and_slots(key_s, cap: int):
+    """From SORTED ids (_BIG padding last): ``(cells (cap,), slots (n,))``.
+
+    ``cells`` = sorted unique ids (pad = _BIG), ``slots`` = each row's
+    rank in that list, with _BIG rows and capacity overflow on the dump
+    slot ``cap``.  O(n) flag + cumsum -- no second sort, no searchsorted:
+    the ids arrive sorted, so first-occurrence flags enumerate the
+    occupied list and their running count IS the slot."""
+    n = key_s.shape[0]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    first = first & (key_s != _BIG)
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = jnp.where((key_s == _BIG) | (slot >= cap), cap, slot)
+    (idx,) = jnp.nonzero(first, size=cap, fill_value=n - 1)
+    count = jnp.sum(first.astype(jnp.int32))
+    cells = jnp.where(jnp.arange(cap) < count, key_s[idx], _BIG)
+    return cells, slot.astype(jnp.int32)
 
 
 def _slot(cells, cids):
@@ -165,81 +208,113 @@ def _body_cells(qx, qy, qz, c, h, C: int):
     return cx, cy, cz
 
 
-def p2m_sparse(qx, qy, qz, gm_eff, c, h, cells, *, m: int, C: int,
-               chunk: int = 2048):
-    """(cap + 1, m^3) per-slot source expansions at the finest sparse
-    level (last row = dump: inactive bodies and capacity misses)."""
-    from murb_tpu.ops.common import pick_block
+#: windowed-anterpolation chunk: MACs scale as n * B * m^3, so small B is
+#: cheap arithmetic; per-scan-step overheads push back up.  512 measured
+#: best at 1M (256/512/1024 probed).
+WINDOW_CHUNK = 512
+
+
+def _window_basis(bx, by, bz, lo, cs, m: int, C: int):
     from murb_tpu.ops.fmm import _cell_coords
 
-    n = qx.shape[0]
-    cap = cells.shape[0]
-    chunk = pick_block(n, min(chunk, n))
+    _, tx = _cell_coords(bx, lo[0], cs[0], C)
+    _, ty = _cell_coords(by, lo[1], cs[1], C)
+    _, tz = _cell_coords(bz, lo[2], cs[2], C)
+    return _basis(tx, m), _basis(ty, m), _basis(tz, m)
+
+
+def p2m_window(xs, ys, zs, gs, c, h, slots, cap, *, m: int, C: int,
+               chunk: int = WINDOW_CHUNK):
+    """P2M on MORTON-SORTED bodies: (cap + 1, m^3) slot expansions.
+
+    Sorted order gives the window property: every occupied cell between
+    a chunk's first and last cid has at least one body INSIDE the chunk,
+    so a chunk of B consecutive bodies touches < B consecutive slot
+    ranks.  The per-chunk segment-sum is then a (B, B) one-hot matmul
+    (MXU, exact: one-hot entries are 0/1) accumulated into a contiguous
+    slot window by a dynamic-slice read-modify-write -- replacing the
+    scatter-adds XLA:TPU serializes (measured ~0.38 us/body for the
+    segment_sum form; this form is matmul + streaming window I/O).
+    Dump rows (inactive bodies, capacity overflow) either fall outside
+    the window (dropped) or land on accumulator row ``cap`` -- the dump
+    row, which no consumer reads."""
+    from murb_tpu.ops.common import pick_block
+
+    n = xs.shape[0]
+    B = pick_block(n, min(chunk, n))
+    nb = n // B
     lo = c - h
     cs = 2.0 * h / C
-    nb = n // chunk
-    resh = lambda a: a.reshape(nb, chunk)
+    m3 = m ** 3
+    dtype = xs.dtype
+    col = jnp.arange(B, dtype=jnp.int32)[None, :]
+    resh = lambda a: a.reshape(nb, B)
 
-    def one(args):
-        bx, by, bz, bg = args
-        cx, tx = _cell_coords(bx, lo[0], cs[0], C)
-        cy, ty = _cell_coords(by, lo[1], cs[1], C)
-        cz, tz = _cell_coords(bz, lo[2], cs[2], C)
-        sx = _basis(tx, m)
-        sy = _basis(ty, m)
-        sz = _basis(tz, m)
-        svw = jnp.einsum("bv,bw->bvw", sy, sz).reshape(chunk, m * m)
-        outer = jnp.einsum("bu,bp->bup", bg[:, None] * sx,
-                           svw).reshape(chunk, m ** 3)
-        cid = jnp.where(bg > 0, _pack(cx, cy, cz, C), _BIG)
-        return jax.ops.segment_sum(outer, _slot(cells, cid),
-                                   num_segments=cap + 1)
-
-    # accumulate in the scan carry: a map + sum would materialize
-    # (n/chunk, cap+1, m^3) -- 9.8 GB at N=1M, cap=22k (measured OOM)
     def step(acc, args):
-        return acc + one(args), None
+        bx, by, bz, bg, sl = args
+        sx, sy, sz = _window_basis(bx, by, bz, lo, cs, m, C)
+        svw = jnp.einsum("bv,bw->bvw", sy, sz).reshape(B, m * m)
+        outer = jnp.einsum("bu,bp->bup", bg[:, None] * sx,
+                           svw).reshape(B, m3)
+        s0 = sl[0]
+        onehot = (sl[:, None] - s0 == col).astype(dtype)
+        part = jax.lax.dot_general(
+            onehot, outer, (((0,), (0,)), ((), ())),
+            precision=_PRECISION, preferred_element_type=dtype)
+        z0 = jnp.zeros((), s0.dtype)  # typed 0: int literals trace i64 under x64
+        win = jax.lax.dynamic_slice(acc, (s0, z0), (B, m3))
+        return jax.lax.dynamic_update_slice(acc, win + part, (s0, z0)), None
 
-    acc0 = jnp.zeros((cap + 1, m ** 3), qx.dtype)
-    acc, _ = jax.lax.scan(step, acc0,
-                          (resh(qx), resh(qy), resh(qz), resh(gm_eff)))
-    return acc
+    acc0 = jnp.zeros((cap + 1 + B, m3), dtype)
+    acc, _ = jax.lax.scan(
+        step, acc0, (resh(xs), resh(ys), resh(zs), resh(gs), resh(slots)))
+    return acc[:cap + 1]
 
 
-def l2p_sparse(qx, qy, qz, c, h, cells, fields, *, m: int, C: int,
-               chunk: int = 2048):
-    """Per-body values from finest sparse-level fields (tuple of
-    (cap + dump, m^3)); bodies whose cell missed the capacity read the
-    dump row (zeros) -- the health check catches that upstream."""
+def l2p_window(xs, ys, zs, c, h, slots, fields, *, m: int, C: int,
+               chunk: int = WINDOW_CHUNK):
+    """L2P on MORTON-SORTED bodies: per-body values from slot fields.
+
+    The p2m_window structure transposed: the per-body field row is a
+    (B, B) one-hot matmul against a contiguous dynamic-slice window of
+    the field table -- replacing the (216,)-wide row gathers XLA:TPU
+    runs at ~150 GB/s with streaming window reads.  Dump bodies read
+    zeros (outside-window one-hot rows are all-zero; in-window ones hit
+    the zero dump row)."""
     from murb_tpu.ops.common import pick_block
-    from murb_tpu.ops.fmm import _cell_coords
 
-    n = qx.shape[0]
-    chunk = pick_block(n, min(chunk, n))
+    n = xs.shape[0]
+    B = pick_block(n, min(chunk, n))
+    nb = n // B
     lo = c - h
     cs = 2.0 * h / C
-    nb = n // chunk
-    resh = lambda a: a.reshape(nb, chunk)
+    m3 = m ** 3
+    dtype = xs.dtype
+    col = jnp.arange(B, dtype=jnp.int32)[None, :]
+    resh = lambda a: a.reshape(nb, B)
+    zpad = jnp.zeros((B, m3), dtype)
+    fpad = tuple(jnp.concatenate([f, zpad], 0) for f in fields)
 
-    def one(args):
-        bx, by, bz = args
-        cx, tx = _cell_coords(bx, lo[0], cs[0], C)
-        cy, ty = _cell_coords(by, lo[1], cs[1], C)
-        cz, tz = _cell_coords(bz, lo[2], cs[2], C)
-        sx = _basis(tx, m)
-        sy = _basis(ty, m)
-        sz = _basis(tz, m)
-        sl = _slot(cells, _pack(cx, cy, cz, C))
+    def step(_, args):
+        bx, by, bz, sl = args
+        sx, sy, sz = _window_basis(bx, by, bz, lo, cs, m, C)
+        s0 = sl[0]
+        onehot = (sl[:, None] - s0 == col).astype(dtype)
+        z0 = jnp.zeros((), s0.dtype)
         outs = []
-        for f in fields:
-            fg = f[sl].reshape(chunk, m, m * m)
+        for f in fpad:
+            win = jax.lax.dynamic_slice(f, (s0, z0), (B, m3))
+            fg = jax.lax.dot(onehot, win, precision=_PRECISION,
+                             preferred_element_type=dtype)
+            fg = fg.reshape(B, m, m * m)
             t1 = jnp.einsum("bu,bup->bp", sx, fg,
-                            precision=_PRECISION).reshape(chunk, m, m)
+                            precision=_PRECISION).reshape(B, m, m)
             t2 = jnp.einsum("bv,bvw->bw", sy, t1, precision=_PRECISION)
             outs.append(jnp.sum(sz * t2, axis=1))
-        return tuple(outs)
+        return None, tuple(outs)
 
-    outs = jax.lax.map(one, (resh(qx), resh(qy), resh(qz)))
+    _, outs = jax.lax.scan(
+        step, None, (resh(xs), resh(ys), resh(zs), resh(slots)))
     return tuple(o.reshape(n) for o in outs)
 
 
@@ -260,10 +335,9 @@ def m2m_sparse(w_child, child_cells, parent_cells, *, m: int, C_child: int):
     """Child slot expansions -> parent slot expansions (segment-summed;
     dump rows excluded by construction: a _BIG child id maps to the
     parent dump slot)."""
-    cx, cy, cz = _unpack(child_cells, C_child)
-    oct_idx = ((cx & 1) * 2 + (cy & 1)) * 2 + (cz & 1)
-    pid = jnp.where(child_cells == _BIG, _BIG,
-                    _pack(cx >> 1, cy >> 1, cz >> 1, C_child // 2))
+    del C_child  # Morton codes: level-free parent/octant arithmetic
+    oct_idx = child_cells & 7
+    pid = jnp.where(child_cells == _BIG, _BIG, child_cells >> 3)
     up = _octant_apply(w_child[:-1], oct_idx, m, transpose=False)
     cap_p = parent_cells.shape[0]
     return jax.ops.segment_sum(up, _slot(parent_cells, pid),
@@ -274,10 +348,9 @@ def l2l_sparse(f_parent, parent_cells, child_cells, *, m: int,
                C_child: int):
     """Parent slot fields -> child slot fields (the M2M transpose); the
     dump row stays zero."""
-    cx, cy, cz = _unpack(child_cells, C_child)
-    oct_idx = ((cx & 1) * 2 + (cy & 1)) * 2 + (cz & 1)
-    pid = jnp.where(child_cells == _BIG, _BIG,
-                    _pack(cx >> 1, cy >> 1, cz >> 1, C_child // 2))
+    del C_child
+    oct_idx = child_cells & 7
+    pid = jnp.where(child_cells == _BIG, _BIG, child_cells >> 3)
     fp = f_parent[_slot(parent_cells, pid)]       # (cap_child, m^3)
     down = _octant_apply(fp, oct_idx, m, transpose=True)
     pad = jnp.zeros((1, down.shape[1]), down.dtype)
@@ -285,10 +358,11 @@ def l2l_sparse(f_parent, parent_cells, child_cells, *, m: int,
 
 
 def l2l_from_dense(f_dense, child_cells, *, m: int, C_child: int):
-    """Dense-grid parent fields (C_parent^3, m^3) -> sparse child slots."""
-    cx, cy, cz = _unpack(child_cells, C_child)
-    oct_idx = ((cx & 1) * 2 + (cy & 1)) * 2 + (cz & 1)
-    pid = _pack(cx >> 1, cy >> 1, cz >> 1, C_child // 2)
+    """Dense-grid parent fields (C_parent^3, m^3) -> sparse child slots.
+    The dense grid is row-major, so the Morton parent code converts."""
+    oct_idx = child_cells & 7
+    px, py, pz = _munpack(child_cells >> 3, C_child // 2)
+    pid = _pack(px, py, pz, C_child // 2)
     pid = jnp.clip(pid, 0, f_dense.shape[0] - 1)
     fp = jnp.where((child_cells == _BIG)[:, None], 0.0, f_dense[pid])
     down = _octant_apply(fp, oct_idx, m, transpose=True)
@@ -297,8 +371,10 @@ def l2l_from_dense(f_dense, child_cells, *, m: int, C_child: int):
 
 
 def densify(w_sparse, cells, C: int):
-    """Sparse slot expansions -> dense (C^3, m^3) grid (scatter by id)."""
-    cid = jnp.clip(cells, 0, C ** 3 - 1)
+    """Sparse slot expansions (Morton-coded) -> dense row-major
+    (C^3, m^3) grid (scatter by id)."""
+    cx, cy, cz = _munpack(jnp.minimum(cells, C ** 3 - 1), C)
+    cid = jnp.clip(_pack(cx, cy, cz, C), 0, C ** 3 - 1)
     w = jnp.where((cells == _BIG)[:, None], 0.0, w_sparse[:-1])
     return jnp.zeros((C ** 3, w.shape[1]), w.dtype).at[cid].add(w)
 
@@ -312,7 +388,7 @@ def _neighbor_slots(cells, C: int):
     measured 40x slower than this (XLA per-step gather overheads)."""
     cap = cells.shape[0]
     offs, par = _far_offsets()
-    cx, cy, cz = _unpack(cells, C)
+    cx, cy, cz = _munpack(jnp.minimum(cells, C ** 3 - 1), C)
     co = jnp.stack([cx, cy, cz], 1)                        # (cap, 3)
     real = cells != _BIG
 
@@ -325,7 +401,8 @@ def _neighbor_slots(cells, C: int):
                     jnp.where(par_j[:, None, :] == 1, parity == 0,
                               parity == 1))
     ok = ok & jnp.all(pok, -1)
-    sid = _pack(nco[..., 0], nco[..., 1], nco[..., 2], C)
+    ncc = jnp.clip(nco, 0, C - 1)
+    sid = morton_key(ncc[..., 0], ncc[..., 1], ncc[..., 2], C)
     spos = _slot(cells, jnp.where(ok, sid, _BIG))          # (NO, cap)
     return spos, ok & (spos < cap)
 
@@ -392,48 +469,45 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
 
 
 # ----------------------------------------------------------- full solver
-def adaptive_field(qx, qy, qz, gm_eff, c, h, soft, plan: SparsePlan,
+def adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan: SparsePlan,
                    with_phi: bool, m2l_dots: str = "fp32"):
     """Far fields of every body via dense levels 2..Ld + sparse levels
-    Ld+1..L (finest near-27 excluded for the P2P stage).  Returns
-    (per-body field tuple, finest cells, diagnostics dict of traced
-    counts)."""
+    Ld+1..L (finest near-27 excluded for the P2P stage).
+
+    Inputs are MORTON-SORTED (``key_s`` = sorted finest-level codes,
+    _BIG for inactive rows -- the one shared sort of solve_adaptive);
+    outputs are per-body values in the SAME sorted order.  Returns
+    (per-body field tuple, diagnostics dict of traced counts)."""
     m = plan.m
     Ld, L = plan.dense_levels, plan.levels
     Cfin = 2 ** L
 
-    cx, cy, cz = _body_cells(qx, qy, qz, c, h, Cfin)
-    cid_fin = jnp.where(gm_eff > 0, _pack(cx, cy, cz, Cfin), _BIG)
-
-    # occupied lists, finest -> coarsest sparse level
+    # occupied lists finest -> coarsest sparse level, O(n) off the sorted
+    # keys (Morton codes: the parent chain is a 3-bit shift, which keeps
+    # each level's list sorted)
     cells = {}
-    ids = cid_fin
-    for l in range(L, Ld, -1):
-        cap = plan.cell_caps[l - Ld - 1]
-        cells[l] = _occupied(ids, cap)
-        if l - 1 > Ld:
-            ccx, ccy, ccz = _unpack(cells[l], 2 ** l)
-            ids = jnp.where(cells[l] == _BIG, _BIG,
-                            _pack(ccx >> 1, ccy >> 1, ccz >> 1,
-                                  2 ** (l - 1)))
+    cells[L], slots = _occupied_and_slots(key_s, plan.cell_caps[-1])
+    for l in range(L - 1, Ld, -1):
+        ids = jnp.where(cells[l + 1] == _BIG, _BIG, cells[l + 1] >> 3)
+        cells[l], _ = _occupied_and_slots(ids, plan.cell_caps[l - Ld - 1])
 
     diag = {"n_cells": tuple(jnp.sum(cells[l] != _BIG)
                              for l in range(Ld + 1, L + 1))}
 
-    # upward: sparse P2M + M2M chain, densify at Ld
-    w = {L: p2m_sparse(qx, qy, qz, gm_eff, c, h, cells[L], m=m, C=Cfin)}
+    # upward: windowed P2M + M2M chain, densify at Ld
+    w = {L: p2m_window(xs, ys, zs, gs, c, h, slots, plan.cell_caps[-1],
+                       m=m, C=Cfin)}
     for l in range(L - 1, Ld, -1):
         w[l] = m2m_sparse(w[l + 1], cells[l + 1], cells[l], m=m,
                           C_child=2 ** (l + 1))
-    ccx, ccy, ccz = _unpack(cells[Ld + 1], 2 ** (Ld + 1))
-    up = _octant_apply(w[Ld + 1][:-1],
-                       ((ccx & 1) * 2 + (ccy & 1)) * 2 + (ccz & 1), m,
-                       transpose=False)
-    # scatter into the dense Ld grid; padding slots carry zero expansions
-    # (their segment id is safely remapped to 0)
-    is_pad = cells[Ld + 1] == _BIG
-    pid = jnp.where(is_pad, 0, _pack(ccx >> 1, ccy >> 1, ccz >> 1,
-                                     2 ** Ld)).astype(jnp.int32)
+    code = cells[Ld + 1]
+    up = _octant_apply(w[Ld + 1][:-1], code & 7, m, transpose=False)
+    # scatter into the dense (row-major) Ld grid; padding slots carry
+    # zero expansions (their segment id is safely remapped to 0)
+    is_pad = code == _BIG
+    px, py, pz = _munpack(jnp.minimum(code, 8 ** (Ld + 1) - 1) >> 3,
+                          2 ** Ld)
+    pid = jnp.where(is_pad, 0, _pack(px, py, pz, 2 ** Ld)).astype(jnp.int32)
     up = jnp.where(is_pad[:, None], 0.0, up)
     w_dense = jax.ops.segment_sum(up, pid, num_segments=2 ** (3 * Ld))
 
@@ -468,7 +542,7 @@ def adaptive_field(qx, qy, qz, gm_eff, c, h, soft, plan: SparsePlan,
             for fi, ci in zip(f, contrib)
         )
 
-    vals = l2p_sparse(qx, qy, qz, c, h, cells[L], f, m=m, C=Cfin)
+    vals = l2p_window(xs, ys, zs, c, h, slots, f, m=m, C=Cfin)
     return vals, diag
 
 
@@ -497,23 +571,56 @@ def solve_adaptive(qx, qy, qz, gm, soft, plan: SparsePlan, *, heavy_k: int,
         qx, qy, qz, gm, k, heavy_factor, mean_gm
     )
 
-    vals, _diag = adaptive_field(qx, qy, qz, gm_eff, c, h, soft, plan,
+    # ---- ONE Morton sort shared by every sparse stage: anterpolation
+    # slot windows, the occupied-list chain, AND the P2P brick cut all
+    # ride the same body order; one unsort at the end.
+    Cfin = 2 ** plan.levels
+    cx, cy, cz = _body_cells(qx, qy, qz, c, h, Cfin)
+    active = gm_eff > 0
+    key = jnp.where(active, morton_key(cx, cy, cz, Cfin), _BIG)
+    perm = jnp.argsort(key)
+    key_s = key[perm]
+    xs, ys, zs, gs = (v[perm] for v in (qx, qy, qz, gm_eff))
+
+    vals, _diag = adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan,
                                  with_phi, m2l_dots)
-    acc = jnp.stack(vals[:3], 1)
 
+    from murb_tpu.ops.p2p import _SENTINEL_SHIFT
+
+    sent = jnp.asarray(2 * Cfin + _SENTINEL_SHIFT, jnp.int32)
     if plan.p2p_impl == "pallas":
-        from murb_tpu.ops.p2p_pallas import p2p_sweep_pallas
+        from murb_tpu.ops.common import f32_inputs
+        from murb_tpu.ops.p2p_pallas import p2p_sweep_pallas_sorted
 
-        acc_near, phi_near, _np = p2p_sweep_pallas(
-            qx, qy, qz, gm_eff, c, h, soft, C=2 ** plan.levels,
+        ci = tuple(
+            jnp.where(active, v, sent)[perm].astype(jnp.float32)
+            for v in (cx, cy, cz)
+        )
+        out, _np = p2p_sweep_pallas_sorted(
+            *f32_inputs(xs, ys, zs, gs), ci, soft,
             pmax=plan.p2p_pmax, with_phi=with_phi,
         )
+        near = tuple(out[:, i].reshape(n).astype(dtype) for i in
+                     range(4 if with_phi else 3))
     else:
-        acc_near, phi_near, _np = p2p_sweep(
-            qx, qy, qz, gm_eff, c, h, soft, C=2 ** plan.levels,
-            pmax=plan.p2p_pmax, chunk=plan.p2p_chunk, with_phi=with_phi,
+        from murb_tpu.ops.p2p import p2p_sweep_sorted
+
+        ci = tuple(
+            jnp.where(active, v, sent)[perm].astype(dtype)
+            for v in (cx, cy, cz)
         )
-    acc = acc + acc_near
+        parts, _np = p2p_sweep_sorted(
+            xs, ys, zs, gs, ci, soft, pmax=plan.p2p_pmax,
+            chunk=plan.p2p_chunk, with_phi=with_phi,
+        )
+        near = tuple(p.reshape(n) for p in parts)
+
+    # far + near in sorted order, then the ONE unsort
+    unsort = lambda a: jnp.zeros(n, dtype).at[perm].set(a)
+    acc = jnp.stack([unsort(vals[0] + near[0]),
+                     unsort(vals[1] + near[1]),
+                     unsort(vals[2] + near[2])], 1)
+    phi_far = unsort(vals[3] + near[3]) if with_phi else None
 
     acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
     ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
@@ -526,8 +633,7 @@ def solve_adaptive(qx, qy, qz, gm, soft, plan: SparsePlan, *, heavy_k: int,
     if with_phi:
         from murb_tpu.ops.proxy import heavy_source_phi, heavy_target_phi
 
-        phi = vals[3] + phi_near
-        phi = phi + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
+        phi = phi_far + heavy_source_phi(qx, qy, qz, hq, heavy_gm, soft)
         phi_h = heavy_target_phi(qx, qy, qz, gm, hq, soft)
         phi = phi.at[top_idx].set(jnp.where(is_heavy, phi_h, phi[top_idx]))
     return acc, phi

@@ -121,6 +121,84 @@ def test_best_plan_is_argmin_of_cost_model():
                         plan.levels) == best
 
 
+def test_windowed_anterpolation_matches_segment_sum():
+    """p2m_window / l2p_window against a direct numpy segment
+    reduction, including the edge cases of the window property: chunks
+    spanning many slots, the active->dump transition chunk, and
+    capacity-overflow slots (must be dropped, never corrupt real
+    rows)."""
+    import jax
+
+    from murb_tpu.ops.p2p import morton_key
+    from murb_tpu.ops.proxy import _basis
+    from murb_tpu.ops.sparse_fmm import (
+        _occupied_and_slots,
+        l2p_window,
+        p2m_window,
+    )
+
+    rng = np.random.default_rng(3)
+    n, npad, m, L = 1500, 2048, 4, 5
+    C = 2 ** L
+    q = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32) * 40.0
+    gm = rng.uniform(0.5, 2.0, npad).astype(np.float32)
+    gm[n:] = 0.0
+    qp = np.zeros((npad, 3), np.float32)
+    qp[:n] = q
+    c = jnp.zeros(3, jnp.float32)
+    h = jnp.full(3, 50.0, jnp.float32)
+
+    qx, qy, qz = (jnp.asarray(qp[:, i]) for i in range(3))
+    from murb_tpu.ops.p2p import _cell_ixyz
+
+    cx, cy, cz = _cell_ixyz(qx, qy, qz, c, h, C)
+    key = jnp.where(jnp.asarray(gm) > 0, morton_key(cx, cy, cz, C),
+                    np.iinfo(np.int32).max)
+    perm = jnp.argsort(key)
+    key_s = key[perm]
+    xs, ys, zs = qx[perm], qy[perm], qz[perm]
+    gs = jnp.asarray(gm)[perm]
+
+    for cap_mode in ("roomy", "overflow"):
+        n_occ = int(len(np.unique(np.asarray(key)[:n])))
+        cap = n_occ + 7 if cap_mode == "roomy" else max(n_occ // 2, 4)
+        cells, slots = jax.jit(
+            lambda k: _occupied_and_slots(k, cap))(key_s)
+        w = jax.jit(lambda *a: p2m_window(*a, c, h, slots, cap, m=m,
+                                          C=C, chunk=256))(xs, ys, zs, gs)
+        assert w.shape == (cap + 1, m ** 3)
+
+        # numpy reference: exact per-slot segment sums
+        lo = np.asarray(c - h)
+        cs = np.asarray(2.0 * h / C)
+        u = (np.asarray([xs, ys, zs]).T - lo) / cs
+        ci = np.clip(np.floor(u), 0, C - 1)
+        t = 2.0 * (u - ci) - 1.0
+        bas = [np.asarray(_basis(jnp.asarray(t[:, d]), m)) for d in range(3)]
+        outer = np.einsum("bu,bv,bw->buvw", bas[0] * np.asarray(gs)[:, None],
+                          bas[1], bas[2]).reshape(npad, m ** 3)
+        sl = np.asarray(slots)
+        ref = np.zeros((cap, m ** 3), np.float32)
+        for i in range(npad):
+            if sl[i] < cap and gs[i] > 0:
+                ref[sl[i]] += outer[i]
+        np.testing.assert_allclose(np.asarray(w)[:cap], ref, atol=1e-4,
+                                   rtol=1e-4)
+
+        # l2p: random fields, dump row zero; dump/overflow bodies read 0
+        f = rng.normal(0, 1, (cap + 1, m ** 3)).astype(np.float32)
+        f[cap] = 0.0
+        vals = jax.jit(lambda *a: l2p_window(
+            *a, c, h, slots, (jnp.asarray(f),), m=m, C=C, chunk=256))(
+            xs, ys, zs)[0]
+        rows = np.where((sl < cap)[:, None], f[np.minimum(sl, cap)], 0.0)
+        bout = np.einsum("bu,bv,bw->buvw", bas[0], bas[1],
+                         bas[2]).reshape(npad, m ** 3)
+        ref_v = np.sum(rows * bout, axis=1)
+        np.testing.assert_allclose(np.asarray(vals), ref_v, atol=1e-4,
+                                   rtol=1e-3)
+
+
 def test_level_stats_replicates_capacity_needs():
     """The planner's occupied-cell counts are self-consistent: the
     differential tests above run with capacities sized from exactly
