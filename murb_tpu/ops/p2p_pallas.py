@@ -45,14 +45,16 @@ from murb_tpu.ops.common import Accel
 
 #: pairs per grid step: amortizes per-step overheads over G (K, K)
 #: rect blocks (~G * 0.4 Mslots of VPU work) while keeping the unrolled
-#: kernel body and the (G, 8, K) source buffer small.
-DEFAULT_G = 16
+#: kernel body and the (G, 8, K) source buffer small.  Measured ladder
+#: (82k merger, hoisted-reduction kernel): G=8 81 ms / 16 69 / 32 64 /
+#: 64 65 -- run padding eats the amortization past 32.
+DEFAULT_G = 32
 
 _K = 128  # brick size: one VPU lane row (ops/p2p.DEFAULT_K)
 
 
-def _kernel(tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf, sem,
-            *, G: int, soft2: float, with_phi: bool):
+def _kernel(tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf,
+            sem, *, G: int, soft2: float, with_phi: bool):
     # tb_ref: scalar-prefetched per-step target indices (SMEM; drives
     # the index maps).  sb_ref: this step's G source indices as a VMEM
     # block -- the full per-pair array exceeds the 1 MB SMEM at real
@@ -82,8 +84,12 @@ def _kernel(tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf, sem,
     cyt = tgt_ref[0, 5, :].reshape(_K, 1)
     czt = tgt_ref[0, 6, :].reshape(_K, 1)
 
+    # accumulate (K, K) partials across the step's G pairs and reduce
+    # ONCE -- every pair of a step shares the target brick, and the
+    # cross-lane (axis 1) reduction is the expensive VPU op here
+    # (measured: hoisting it out of the g loop cut the sweep ~25-30%)
     nf = 4 if with_phi else 3
-    acc = [jnp.zeros((_K,), jnp.float32) for _ in range(nf)]
+    acc2 = [jnp.zeros((_K, _K), jnp.float32) for _ in range(nf)]
     one = jnp.float32(1.0)
     for g in range(G):
         valid = (sb_ref[0, 0, g] >= 0).astype(jnp.float32)
@@ -100,6 +106,11 @@ def _kernel(tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf, sem,
         dz = zs - zt
         inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz
                             + jnp.float32(soft2))
+
+        # (an all-near mask-free fast path was probed and REJECTED:
+        # the per-pair lax.cond cost 12-33% in-kernel, and its flag
+        # list needed a second B^2-sized scatter in build_pair_runs,
+        # ~350 ms at N=1M -- the mask is cheaper than the branch)
         near = (
             (jnp.abs(cxs - cxt) <= one)
             & (jnp.abs(cys - cyt) <= one)
@@ -107,12 +118,13 @@ def _kernel(tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf, sem,
         )
         w0 = jnp.where(near, gs * valid, 0.0)
         w = w0 * (inv * inv * inv)
-        acc[0] = acc[0] + jnp.sum(w * dx, 1)
-        acc[1] = acc[1] + jnp.sum(w * dy, 1)
-        acc[2] = acc[2] + jnp.sum(w * dz, 1)
+        acc2[0] = acc2[0] + w * dx
+        acc2[1] = acc2[1] + w * dy
+        acc2[2] = acc2[2] + w * dz
         if with_phi:
-            acc[3] = acc[3] + jnp.sum(w0 * inv, 1)
+            acc2[3] = acc2[3] + w0 * inv
 
+    acc = [jnp.sum(a, 1) for a in acc2]
     contrib = jnp.stack(acc + [jnp.zeros((_K,), jnp.float32)]
                         * (4 - nf))                    # (4, K)
     first = jnp.logical_or(s == 0,

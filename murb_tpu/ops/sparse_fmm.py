@@ -380,14 +380,30 @@ def densify(w_sparse, cells, C: int):
 
 
 # ---------------------------------------------------------------- M2L
-def _neighbor_slots(cells, C: int):
-    """((NO, cap) source slots, (NO, cap) found mask): for every far-list
+def _parity_codes(offs: np.ndarray) -> np.ndarray:
+    """Per-dim parity code of the expand-telescoping rule: 0 = any,
+    1 = target coord even (o_d = +3), 2 = odd (o_d = -3)."""
+    par = np.zeros_like(offs, np.int8)
+    par[offs == 3] = 1
+    par[offs == -3] = 2
+    return par
+
+
+def _canon_far() -> np.ndarray:
+    """(K, 3) canonical far offsets -- one per {+o, -o} pair (every far
+    canonical has a valid mirror: min_inf = 2 excludes o = 0)."""
+    canon, neg = _offsets_paired(*_SUBSETS["far"])
+    assert (neg > 0).all()
+    return canon.astype(np.int32)
+
+
+def _neighbor_slots(cells, C: int, offs: np.ndarray, par: np.ndarray):
+    """((NO, cap) source slots, (NO, cap) found mask): for every listed
     offset, each occupied target's occupied source (if any), with the
     parity masks of the expand telescoping applied.  One vectorized
     build per level -- per-offset lookups inside the sweep scan were
     measured 40x slower than this (XLA per-step gather overheads)."""
     cap = cells.shape[0]
-    offs, par = _far_offsets()
     cx, cy, cz = _munpack(jnp.minimum(cells, C ** 3 - 1), C)
     co = jnp.stack([cx, cy, cz], 1)                        # (cap, 3)
     real = cells != _BIG
@@ -407,64 +423,79 @@ def _neighbor_slots(cells, C: int):
     return spos, ok & (spos < cap)
 
 
-def _transfer_tensors(hl, soft, offsets, *, m: int, nf: int, dtype):
-    """(NO, nf, m^3, m^3) transfer matrices of a level, built in ONE
-    vectorized pass (per-scan-step builds were measured ~100x the rsqrt
-    volume in per-step overhead)."""
+def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
+                     with_phi: bool, m2l_dots: str = "fp32"):
+    """Far sweep at one sparse level: a canonical-offset scan over
+    compacted rows, both signs per step.
+
+    Per canonical offset {+o, -o}: build the (nf, m^3, m^3) transfer
+    matrices IN-SCAN (a (NO, nf, m^3, m^3) precomputed tensor is ~1 GB
+    at m = 8 -- its HBM round-trip dominated small-cap levels, measured
+    ~10 ms/level floor), gather each target's source expansion for both
+    signs (precomputed slot tables), and run one (cap, m^3) @
+    (m^3, m^3) matmul per field per sign -- the mirror rides the
+    identity T_d(-o) = -T_d(o)^T (T_phi(-o) = +T_phi(o)^T), so one
+    build serves both.  ALIGNED accumulate (no scatter: accumulator row
+    i is slot i).  Work is NO * cap rows; a true pair-list form would
+    touch only the occupied pairs but pays per-chunk gather/scatter
+    overheads measured 10-40x the arithmetic on XLA:TPU.
+
+    ``m2l_dots``: "fp32" = HIGHEST (6-pass) matmuls; "bf16x3" = HIGH
+    (XLA's 3-pass bf16 split, ~2x the matmul rate, ~3e-5-class dot
+    error); "mixed" maps to fp32 here (the sparse far shell starts at
+    the cancellation-critical |o| = 2).  The engines' measured-error
+    validation guards whichever tier is picked.
+
+    Returns nf fields of shape (cap, m^3)."""
+    dtype = w.dtype
+    cap = cells.shape[0]
+    m3 = m ** 3
     m2 = m * m
+    nf = 4 if with_phi else 3
+    canon = _canon_far()
+    prec = (jax.lax.Precision.HIGH if m2l_dots == "bf16x3"
+            else _PRECISION)
+
+    spos_p, fnd_p = _neighbor_slots(cells, C, canon, _parity_codes(canon))
+    spos_n, fnd_n = _neighbor_slots(cells, C, -canon,
+                                    _parity_codes(-canon))
+
     t = jnp.asarray(_cheb_nodes(m), dtype)
     pxv = hl[0] * jnp.repeat(t, m2)
     pyv = hl[1] * jnp.tile(jnp.repeat(t, m), m)
     pzv = hl[2] * jnp.tile(t, m2)
-    o = jnp.asarray(offsets, dtype)                        # (NO, 3)
-    dm = lambda pv, d: (2.0 * hl[d] * o[:, d])[:, None, None] \
-        + (pv[None, None, :] - pv[None, :, None])
-    Dx, Dy, Dz = dm(pxv, 0), dm(pyv, 1), dm(pzv, 2)        # (NO, m3, m3)
-    inv = jax.lax.rsqrt(Dx * Dx + Dy * Dy + Dz * Dz
-                        + jnp.asarray(soft, dtype) ** 2)
-    inv3 = inv * inv * inv
-    Ts = [Dx * inv3, Dy * inv3, Dz * inv3]
-    if nf == 4:
-        Ts.append(inv)
-    return jnp.stack(Ts, 1)                                # (NO, nf, m3, m3)
-
-
-def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
-                     with_phi: bool):
-    """Far sweep at one sparse level: an offset scan over compacted rows.
-
-    Per offset: gather each target's source expansion (precomputed slot
-    table), one (cap, m^3) @ (m^3, m^3) matmul per field, ALIGNED
-    accumulate (no scatter -- row i of the accumulator is slot i).
-    Work is NO * cap rows; a true pair-list form would touch only the
-    occupied pairs but pays per-chunk gather/scatter/transfer-build
-    overheads that measured 10-40x the arithmetic on XLA:TPU (chunked
-    variants at 512..8192 all ~245 ms vs ~25 ms for this form at the
-    merger's finest level).  Returns nf fields of shape (cap, m^3)."""
-    dtype = w.dtype
-    cap = cells.shape[0]
-    m3 = m ** 3
-    nf = 4 if with_phi else 3
-    offsets = _far_offsets()[0]
-
-    spos, found = _neighbor_slots(cells, C)
-    T = _transfer_tensors(hl, soft, offsets, m=m, nf=nf, dtype=dtype)
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    o_rows = jnp.asarray(canon, dtype)                     # (NO, 3)
 
     f0 = tuple(jnp.zeros((cap, m3), dtype) for _ in range(nf))
 
     def body(acc, args):
-        sl, fnd, Ti = args                                 # (cap,), (cap,), (nf, m3, m3)
-        ws = jnp.where(fnd[:, None], w[jnp.minimum(sl, cap)], 0.0)
+        slp, fp, sln, fn, o = args
+        dm = lambda pv, d: 2.0 * hl[d] * o[d] \
+            + (pv[None, :] - pv[:, None])                  # (m3, m3)
+        Dx, Dy, Dz = dm(pxv, 0), dm(pyv, 1), dm(pzv, 2)
+        inv = jax.lax.rsqrt(Dx * Dx + Dy * Dy + Dz * Dz + soft2)
+        inv3 = inv * inv * inv
+        Ts = [Dx * inv3, Dy * inv3, Dz * inv3]
+        if nf == 4:
+            Ts.append(inv)
+        wp = jnp.where(fp[:, None], w[jnp.minimum(slp, cap)], 0.0)
+        wn = jnp.where(fn[:, None], w[jnp.minimum(sln, cap)], 0.0)
         out = []
         for i, a in enumerate(acc):
-            contrib = jax.lax.dot_general(
-                ws, Ti[i], (((1,), (1,)), ((), ())),
-                precision=_PRECISION, preferred_element_type=dtype,
-            )                                              # ws @ T^T
-            out.append(a + contrib)
+            c_p = jax.lax.dot_general(
+                wp, Ts[i], (((1,), (1,)), ((), ())),
+                precision=prec, preferred_element_type=dtype,
+            )                                              # wp @ T^T
+            c_n = jax.lax.dot_general(
+                wn, Ts[i], (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=dtype,
+            )                                              # wn @ T
+            out.append(a + c_p + (c_n if i == 3 else -c_n))
         return tuple(out), None
 
-    fields, _ = jax.lax.scan(body, f0, (spos, found, T))
+    fields, _ = jax.lax.scan(
+        body, f0, (spos_p, fnd_p, spos_n, fnd_n, o_rows))
     return fields
 
 
@@ -532,7 +563,7 @@ def adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan: SparsePlan,
                                  C_child=C)
                       for fi in f)
         contrib = m2l_sparse_level(w[l], cells[l], hl, soft, m=m, C=C,
-                                   with_phi=with_phi)
+                                   with_phi=with_phi, m2l_dots=m2l_dots)
         # combine: L2L gave (cap + 1, m3), M2L gave (cap, m3); keep the
         # ZERO dump row (the next L2L / the final L2P read it for
         # missing slots)

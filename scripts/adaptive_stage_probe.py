@@ -124,6 +124,26 @@ def main() -> None:
                 w[l] + z * eps, cells[l], hl, soft, m=mm, C=2 ** l,
                 with_phi=False)[0][0, 0].astype(jnp.float32))(l, hl),
             it)
+    hl = h / Cfin
+    chain_time(
+        f"M2L finest tier=bf16x3 (cap={plan.cell_caps[-1]})",
+        lambda z: sf.m2l_sparse_level(
+            w[L] + z * eps, cells[L], hl, soft, m=mm, C=Cfin,
+            with_phi=False, m2l_dots="bf16x3")[0][0, 0]
+        .astype(jnp.float32), it)
+
+    if plan.p2p_impl == "pallas":
+        from murb_tpu.ops.p2p import _adjacency, _brick_boxes
+        from murb_tpu.ops.p2p_pallas import build_pair_runs
+
+        def pair_build(z):
+            ci2 = (ci[0] + z * eps, ci[1], ci[2])
+            lo, hi = _brick_boxes(ci2, 128)
+            tb, sb, npd = build_pair_runs(_adjacency(lo, hi),
+                                          plan.p2p_pmax)
+            return (tb[0] + sb[0] + npd).astype(jnp.float32)
+
+        chain_time("P2P pair-list build alone", pair_build, it)
 
     @jax.jit
     def dense_base(wd):
