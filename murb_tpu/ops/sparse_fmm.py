@@ -397,6 +397,15 @@ def _canon_far() -> np.ndarray:
     return canon.astype(np.int32)
 
 
+#: dense code->slot lookup gate: levels with C^3 entries under this use a
+#: scattered (C^3 + 1,) table + ONE gather for all offsets.  The previous
+#: searchsorted build was the hidden cost of the whole sparse M2L sweep --
+#: 15 binary-search rounds x NO*cap scalar gathers measured 378 ms per
+#: sign table at cap=22k on-chip vs 30 ms for the dense table (the sweep
+#: itself is ~50 ms).  64 MB of i32 at the gate; deeper levels fall back.
+_TABLE_MAX = 1 << 24
+
+
 def _neighbor_slots(cells, C: int, offs: np.ndarray, par: np.ndarray):
     """((NO, cap) source slots, (NO, cap) found mask): for every listed
     offset, each occupied target's occupied source (if any), with the
@@ -419,7 +428,15 @@ def _neighbor_slots(cells, C: int, offs: np.ndarray, par: np.ndarray):
     ok = ok & jnp.all(pok, -1)
     ncc = jnp.clip(nco, 0, C - 1)
     sid = morton_key(ncc[..., 0], ncc[..., 1], ncc[..., 2], C)
-    spos = _slot(cells, jnp.where(ok, sid, _BIG))          # (NO, cap)
+    if C ** 3 <= _TABLE_MAX:
+        big = jnp.int32(C ** 3)
+        slot_of = jnp.full((C ** 3 + 1,), -1, jnp.int32).at[
+            jnp.where(real, cells, big)].set(
+            jnp.arange(cap, dtype=jnp.int32))
+        spos = slot_of[jnp.where(ok, sid, 0)]              # (NO, cap)
+        spos = jnp.where(spos < 0, cap, spos).astype(jnp.int32)
+    else:
+        spos = _slot(cells, jnp.where(ok, sid, _BIG))      # (NO, cap)
     return spos, ok & (spos < cap)
 
 

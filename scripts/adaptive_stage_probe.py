@@ -40,6 +40,8 @@ def main() -> None:
     q = np.stack([np.asarray(st.qx), np.asarray(st.qy),
                   np.asarray(st.qz)], 1)[np.asarray(st.m) > 0]
     m = sf.adaptive_order(1e-4)
+    if "--m" in sys.argv:  # probe the engine's validated pick (often m=6)
+        m = int(sys.argv[sys.argv.index("--m") + 1])
     plan, est = sf.best_adaptive_plan(q, npad, m)
     print(f"n={n} npad={npad} plan: m={plan.m} Ld={plan.dense_levels} "
           f"L={plan.levels} caps={plan.cell_caps} pmax={plan.p2p_pmax} "
