@@ -53,18 +53,43 @@ DEFAULT_G = 32
 _K = 128  # brick size: one VPU lane row (ops/p2p.DEFAULT_K)
 
 
-def _kernel(tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf,
-            sem, *, G: int, soft2: float, with_phi: bool):
-    # tb_ref: scalar-prefetched per-step target indices (SMEM; drives
-    # the index maps).  sb_ref: this step's G source indices as a VMEM
-    # block -- the full per-pair array exceeds the 1 MB SMEM at real
-    # pair counts (measured: 318k pairs = 1.27 MB), and G is a static
-    # unroll so the reads below are static-index scalar loads.  The
-    # (1, 1, G) block satisfies Mosaic's tiling rule by making the last
-    # two block dims EQUAL the array dims (a (1, G) block is rejected:
-    # second-to-last must be 8-divisible or whole).
+def _kernel(tb_ref, nlive_ref, tgt_ref, data_ref, sb_ref, out_ref,
+            src_buf, sem, *, G: int, soft2: float, with_phi: bool):
+    # tb_ref / nlive_ref: scalar-prefetched per-step target indices and
+    # the LIVE step count (SMEM; tb drives the index maps).  sb_ref:
+    # this step's G source indices as a VMEM block -- the full per-pair
+    # array exceeds the 1 MB SMEM at real pair counts (measured: 318k
+    # pairs = 1.27 MB), and G is a static unroll so the reads below are
+    # static-index scalar loads.  The (1, 1, G) block satisfies
+    # Mosaic's tiling rule by making the last two block dims EQUAL the
+    # array dims (a (1, G) block is rejected: second-to-last must be
+    # 8-divisible or whole).
+    #
+    # Steps past the live count are CAPACITY padding (pmax is a
+    # margined static bound; the true run-padded length is the traced
+    # n_padded) -- the whole body is skipped for them, so the margin
+    # costs ~nothing per sweep (measured: 578 -> ~390 ms at the 1M
+    # two-cluster geometry, where the 1.5x margin made 36% of the grid
+    # dead steps).  Their output blocks alias the last real target's
+    # block (tb_step clamps) and are simply never touched.
+    #
+    # (A cross-step double-buffered variant of the source DMAs was
+    # probed and REJECTED: 578 -> 661 ms at the 1M two-cluster sweep.
+    # Mosaic's own block pipelining already hides the copy latency --
+    # the sweep is compute-bound, ~0.3 us per (K, K) pair block at G=32
+    # -- and the even/odd branch duplication only added overhead.)
     s = pl.program_id(0)
 
+    @pl.when(s < nlive_ref[0])
+    def _live():
+        # program_id is read OUTSIDE the when: it cannot be bound
+        # inside the lowered cond branch
+        _body(s, tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf,
+              sem, G=G, soft2=soft2, with_phi=with_phi)
+
+
+def _body(s, tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf, sem,
+          *, G: int, soft2: float, with_phi: bool):
     # fetch the G source bricks of this step (pad indices read brick 0;
     # their contribution is zeroed below)
     copies = []
@@ -155,11 +180,24 @@ def build_pair_runs(adj, pmax: int, G: int = DEFAULT_G):
     n_padded = jnp.sum(padded)
 
     rank = jnp.cumsum(adj, 1) - 1
-    pos = jnp.where(adj, starts[:, None] + rank, pmax)
-    pos = jnp.minimum(pos, pmax)
+    # non-pairs go OUT OF BOUNDS (dropped) rather than colliding on a
+    # dump row: real positions are unique (ascending t-major runs) and
+    # each non-pair gets a DISTINCT out-of-range index, so
+    # unique_indices=True holds rigorously and XLA can lower the
+    # B^2-update scatter without collision ordering
     sb = jnp.full(pmax + 1, -1, jnp.int32)
     svals = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None], (B, B))
-    sb = sb.at[pos.reshape(-1)].set(svals.reshape(-1), mode="drop")[:pmax]
+    if pmax + 1 + B * B < 2 ** 31:      # distinct OOB fits int32
+        flat = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0) * B \
+            + jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        pos = jnp.where(adj, starts[:, None] + rank, pmax + 1 + flat)
+        sb = sb.at[pos.reshape(-1)].set(svals.reshape(-1), mode="drop",
+                                        unique_indices=True)[:pmax]
+    else:                               # collide on a dump row instead
+        pos = jnp.minimum(jnp.where(adj, starts[:, None] + rank, pmax),
+                          pmax)
+        sb = sb.at[pos.reshape(-1)].set(svals.reshape(-1),
+                                        mode="drop")[:pmax]
 
     nsteps = pmax // G
     cum_steps = jnp.cumsum(padded // G)
@@ -240,7 +278,9 @@ def p2p_sweep_pallas_sorted(xs, ys, zs, gs, ci, soft, *, pmax: int,
     lo, hi = _brick_boxes(ci, K)
     adj = _adjacency(lo, hi)
     n_pairs = jnp.sum(adj.astype(jnp.int32))
-    tb_step, sb, _n_padded = build_pair_runs(adj, pmax, G)
+    tb_step, sb, n_padded = build_pair_runs(adj, pmax, G)
+    nlive = ((jnp.minimum(n_padded, pmax).astype(jnp.int32)
+              + (G - 1)) // G).reshape(1)
 
     resh = lambda a: a.reshape(B, 1, K)
     data = jnp.concatenate(
@@ -251,16 +291,17 @@ def p2p_sweep_pallas_sorted(xs, ys, zs, gs, ci, soft, *, pmax: int,
     soft2 = float(soft) ** 2
     nsteps = pmax // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                         # tb_step only
+        num_scalar_prefetch=2,                         # tb_step, nlive
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 8, K),
-                         lambda s, tb: (tb[s], 0, 0)),      # target block
+                         lambda s, tb, nl: (tb[s], 0, 0)),  # target block
             pl.BlockSpec(memory_space=pltpu.ANY),           # HBM pack
-            pl.BlockSpec((1, 1, G), lambda s, tb: (s, 0, 0)),  # source idxs
+            pl.BlockSpec((1, 1, G),
+                         lambda s, tb, nl: (s, 0, 0)),      # source idxs
         ],
         out_specs=pl.BlockSpec((1, 4, K),
-                               lambda s, tb: (tb[s], 0, 0)),
+                               lambda s, tb, nl: (tb[s], 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((G, 8, K), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -274,7 +315,7 @@ def p2p_sweep_pallas_sorted(xs, ys, zs, gs, ci, soft, *, pmax: int,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tb_step, data, data, sb.reshape(nsteps, 1, G))
+    )(tb_step, nlive, data, data, sb.reshape(nsteps, 1, G))
     return out, n_pairs
 
 

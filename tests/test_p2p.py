@@ -225,6 +225,40 @@ def test_p2p_pallas_matches_jnp_sweep():
                                np.asarray(ref_phi)[sel], rtol=1e-5)
 
 
+def test_p2p_pallas_double_buffer_race_free():
+    """The kernel's double-buffered source-DMA protocol (two buffers,
+    two semaphores, start-ahead one grid step) is clean under the
+    Pallas TPU interpret-mode race detector, and still matches the jnp
+    sweep.  CPU-only: the TPU-interpret simulator is not meant to be
+    lowered to the chip (see tests/test_ring_pallas.py)."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("interpret-mode simulator runs on CPU only")
+    from jax.experimental.pallas import tpu as pltpu
+    from murb_tpu.ops.p2p_pallas import acc_p2p_pallas, size_pmax_runs
+
+    (qx, qy, qz, gm), q = _two_clusters(n=1000, npad=1024)
+    npad = int(qx.shape[0])
+    soft = 0.01
+    C = 8
+    c, h = bounding_box(qx, qy, qz, gm > 0)
+    h = jnp.full_like(h, jnp.max(h))
+    est = estimate_brick_pairs(q, npad, 3)
+    ref_acc, _, np1 = p2p_sweep(qx, qy, qz, gm, c, h, soft, C=C,
+                                pmax=size_pmax(est))
+    a, _, np2 = acc_p2p_pallas(
+        qx, qy, qz, gm, c, h, soft, C=C,
+        pmax=size_pmax_runs(est, npad // 128),
+        interpret=pltpu.InterpretParams(detect_races=True))
+    assert int(np1) == int(np2)
+    an = np.stack([np.asarray(a.ax), np.asarray(a.ay), np.asarray(a.az)], 1)
+    rn = np.asarray(ref_acc)
+    nrm = np.linalg.norm(rn, axis=1)
+    sel = np.asarray(gm) > 0
+    err = (np.linalg.norm(an - rn, axis=1)
+           / np.maximum(nrm, nrm[sel].max() * 1e-6))[sel].max()
+    assert err <= 1e-5
+
+
 def test_estimate_matches_device_count():
     """The host-side sizing replica agrees with the in-jit count (same
     sort, same sentinel handling) -- pmax sizing is only meaningful if
