@@ -190,11 +190,29 @@ def _occupied_and_slots(key_s, cap: int):
     return cells, slot.astype(jnp.int32)
 
 
-def _slot(cells, cids):
+def _slot_table(cells, C: int):
+    """(C^3 + 1,) dense code->slot table: -1 = unoccupied.  Index C^3 is
+    a clamp target for sentinel queries and is never written (pad rows
+    scatter out of bounds and drop)."""
+    cap = cells.shape[0]
+    real = cells != _BIG
+    return jnp.full((C ** 3 + 1,), -1, jnp.int32).at[
+        jnp.where(real, cells, jnp.int32(C ** 3 + 1))].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+
+
+def _slot(cells, cids, C: int | None = None):
     """Slot of each cid in the sorted occupied list; misses (including
     _BIG sentinels and capacity overflow) land on the dump slot
-    len(cells)."""
+    len(cells).  With the level size ``C`` given (and small enough), a
+    dense scattered table + one gather replaces the binary search --
+    searchsorted's 15 rounds of scalar gathers were measured 12.7x
+    slower at M2L scale (see _TABLE_MAX)."""
     cap = cells.shape[0]
+    if C is not None and C ** 3 <= _TABLE_MAX:
+        t = _slot_table(cells, C)
+        sp = t[jnp.clip(cids, 0, C ** 3)]
+        return jnp.where(sp < 0, cap, sp).astype(jnp.int32)
     pos = jnp.searchsorted(cells, cids)
     pos = jnp.clip(pos, 0, cap - 1)
     return jnp.where(cells[pos] == cids, pos, cap).astype(jnp.int32)
@@ -335,12 +353,11 @@ def m2m_sparse(w_child, child_cells, parent_cells, *, m: int, C_child: int):
     """Child slot expansions -> parent slot expansions (segment-summed;
     dump rows excluded by construction: a _BIG child id maps to the
     parent dump slot)."""
-    del C_child  # Morton codes: level-free parent/octant arithmetic
     oct_idx = child_cells & 7
     pid = jnp.where(child_cells == _BIG, _BIG, child_cells >> 3)
     up = _octant_apply(w_child[:-1], oct_idx, m, transpose=False)
     cap_p = parent_cells.shape[0]
-    return jax.ops.segment_sum(up, _slot(parent_cells, pid),
+    return jax.ops.segment_sum(up, _slot(parent_cells, pid, C_child // 2),
                                num_segments=cap_p + 1)
 
 
@@ -348,10 +365,9 @@ def l2l_sparse(f_parent, parent_cells, child_cells, *, m: int,
                C_child: int):
     """Parent slot fields -> child slot fields (the M2M transpose); the
     dump row stays zero."""
-    del C_child
     oct_idx = child_cells & 7
     pid = jnp.where(child_cells == _BIG, _BIG, child_cells >> 3)
-    fp = f_parent[_slot(parent_cells, pid)]       # (cap_child, m^3)
+    fp = f_parent[_slot(parent_cells, pid, C_child // 2)]  # (cap_child, m^3)
     down = _octant_apply(fp, oct_idx, m, transpose=True)
     pad = jnp.zeros((1, down.shape[1]), down.dtype)
     return jnp.concatenate([down, pad], 0)
@@ -429,11 +445,7 @@ def _neighbor_slots(cells, C: int, offs: np.ndarray, par: np.ndarray):
     ncc = jnp.clip(nco, 0, C - 1)
     sid = morton_key(ncc[..., 0], ncc[..., 1], ncc[..., 2], C)
     if C ** 3 <= _TABLE_MAX:
-        big = jnp.int32(C ** 3)
-        slot_of = jnp.full((C ** 3 + 1,), -1, jnp.int32).at[
-            jnp.where(real, cells, big)].set(
-            jnp.arange(cap, dtype=jnp.int32))
-        spos = slot_of[jnp.where(ok, sid, 0)]              # (NO, cap)
+        spos = _slot_table(cells, C)[jnp.where(ok, sid, 0)]  # (NO, cap)
         spos = jnp.where(spos < 0, cap, spos).astype(jnp.int32)
     else:
         spos = _slot(cells, jnp.where(ok, sid, _BIG))      # (NO, cap)
