@@ -126,10 +126,15 @@ def _brick_boxes(ci_s, K: int):
 def _adjacency(lo, hi):
     """(B, B) bool: brick cell-bboxes within Chebyshev distance 1."""
     # boxes [lo_t, hi_t], [lo_s, hi_s] are within distance 1 per dim iff
-    # lo_s <= hi_t + 1 and lo_t <= hi_s + 1
-    a = lo[None, :, :] <= hi[:, None, :] + 1
-    b = lo[:, None, :] <= hi[None, :, :] + 1
-    return jnp.all(a & b, axis=-1)
+    # lo_s <= hi_t + 1 and lo_t <= hi_s + 1.  Built per dimension with
+    # rank-2 broadcasts: a (B, B, 3) intermediate pads its minor dim to
+    # TPU tiles (the CLAUDE.md relayout hazard).
+    out = None
+    for d in range(3):
+        ab = ((lo[None, :, d] <= hi[:, d][:, None] + 1)
+              & (lo[:, d][:, None] <= hi[None, :, d] + 1))
+        out = ab if out is None else out & ab
+    return out
 
 
 def p2p_sweep(qx, qy, qz, gm_src, c, h, soft, *, C: int, pmax: int,

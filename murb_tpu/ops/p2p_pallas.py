@@ -164,6 +164,12 @@ def _body(s, tb_ref, tgt_ref, data_ref, sb_ref, out_ref, src_buf, sem,
         out_ref[0] = out_ref[0] + contrib
 
 
+#: step-chunk of the scatter-free pair-list build: each chunk gathers
+#: (S, B) cumsum rows and fuses an (S, G, B) compare-reduce.  Bounds the
+#: working set to S * B i32 (16 MB at B = 8192, S = 512).
+_BUILD_CHUNK = 512
+
+
 def build_pair_runs(adj, pmax: int, G: int = DEFAULT_G):
     """Target-major pair list with per-target runs padded to multiples
     of G: (tb_step (pmax/G,), sb (pmax,), n_padded ()).
@@ -171,33 +177,24 @@ def build_pair_runs(adj, pmax: int, G: int = DEFAULT_G):
     Pad entries carry sb = -1 (zero contribution in-kernel); steps past
     the last real run keep the last target index so the output-block
     revisit sequence stays monotone.  n_padded > pmax means dropped
-    pairs -- the caller's health contract."""
+    pairs -- the caller's health contract.
+
+    Scatter-free: the obvious construction scatters all B^2 candidate
+    positions into the flat list (unique OOB indices, mode=drop), but
+    XLA:TPU runs that scatter at ~5 ns/element -- 321 ms of a 333 ms
+    build at B = 8192 (measured r3, scripts/pairbuild_probe.py).  The
+    inclusive row cumsum ``cs`` is sorted, so the rank-r neighbor of
+    target t is a SELECT-RANK:  sb[p] = #{j : cs[t, j] <= r}  with
+    r = p - starts[t] -- evaluated as a chunked (S, G, B) compare-reduce
+    over the sweep's own G-steps (~15 G lane-ops at the 1M two-cluster
+    geometry, fused by XLA; no scatter anywhere)."""
     B = adj.shape[0]
-    counts = jnp.sum(adj, 1)                           # (B,)
+    cs = jnp.cumsum(adj.astype(jnp.int32), 1)          # (B, B) inclusive
+    counts = cs[:, -1]
     padded = (counts + G - 1) // G * G
     starts = jnp.concatenate([jnp.zeros(1, padded.dtype),
                               jnp.cumsum(padded)[:-1]])
     n_padded = jnp.sum(padded)
-
-    rank = jnp.cumsum(adj, 1) - 1
-    # non-pairs go OUT OF BOUNDS (dropped) rather than colliding on a
-    # dump row: real positions are unique (ascending t-major runs) and
-    # each non-pair gets a DISTINCT out-of-range index, so
-    # unique_indices=True holds rigorously and XLA can lower the
-    # B^2-update scatter without collision ordering
-    sb = jnp.full(pmax + 1, -1, jnp.int32)
-    svals = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None], (B, B))
-    if pmax + 1 + B * B < 2 ** 31:      # distinct OOB fits int32
-        flat = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0) * B \
-            + jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-        pos = jnp.where(adj, starts[:, None] + rank, pmax + 1 + flat)
-        sb = sb.at[pos.reshape(-1)].set(svals.reshape(-1), mode="drop",
-                                        unique_indices=True)[:pmax]
-    else:                               # collide on a dump row instead
-        pos = jnp.minimum(jnp.where(adj, starts[:, None] + rank, pmax),
-                          pmax)
-        sb = sb.at[pos.reshape(-1)].set(svals.reshape(-1),
-                                        mode="drop")[:pmax]
 
     nsteps = pmax // G
     cum_steps = jnp.cumsum(padded // G)
@@ -205,6 +202,27 @@ def build_pair_runs(adj, pmax: int, G: int = DEFAULT_G):
         cum_steps, jnp.arange(nsteps, dtype=cum_steps.dtype), side="right"
     ).astype(jnp.int32)
     tb_step = jnp.minimum(tb_step, B - 1)
+
+    S = min(_BUILD_CHUNK, nsteps)
+    nchunks = -(-nsteps // S)
+    tb_pad = jnp.pad(tb_step, (0, nchunks * S - nsteps),
+                     constant_values=B - 1)
+    lane_g = jnp.arange(G, dtype=jnp.int32)[None, :]   # (1, G)
+    row_s = jnp.arange(S, dtype=jnp.int32)[:, None]    # (S, 1)
+
+    def chunk(carry_p0, t_c):
+        p0 = carry_p0 + row_s * G                      # (S, 1) step bases
+        r = p0 + lane_g - starts[t_c][:, None]         # (S, G) ranks
+        cs_rows = cs[t_c]                              # (S, B) row gather
+        src = jnp.sum(
+            (cs_rows[:, None, :] <= r[:, :, None]).astype(jnp.int32),
+            axis=2)                                    # (S, G) select-rank
+        valid = r < counts[t_c][:, None]
+        return carry_p0 + S * G, jnp.where(valid, src, -1)
+
+    _, sb_c = jax.lax.scan(chunk, jnp.int32(0),
+                           tb_pad.reshape(nchunks, S))
+    sb = sb_c.reshape(nchunks * S * G)[:pmax]
     return tb_step, sb, n_padded
 
 

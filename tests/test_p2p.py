@@ -270,3 +270,40 @@ def test_estimate_matches_device_count():
     _a, _p, n_pairs = p2p_sweep(qx, qy, qz, gm, c, h, 0.5, C=4,
                                 pmax=size_pmax(est))
     assert abs(int(n_pairs) - est) <= max(0.02 * est, 4)
+
+
+def test_build_pair_runs_oracle():
+    """The scatter-free select-rank construction of build_pair_runs
+    (ops/p2p_pallas) reproduces the straightforward run-padded list on
+    random adjacency matrices, including the dropped-pairs overflow
+    case (sb is truncated, n_padded still reports the true need)."""
+    from murb_tpu.ops.p2p_pallas import build_pair_runs
+
+    rng = np.random.default_rng(7)
+    G = 32
+    for B, dens, pm_frac in ((8, 0.5, 2.0), (64, 0.1, 2.0),
+                             (64, 0.9, 2.0), (128, 0.05, 0.5)):
+        adj = rng.random((B, B)) < dens
+        adj |= np.eye(B, dtype=bool)                  # self pairs
+        counts = adj.sum(1)
+        padded = (counts + G - 1) // G * G
+        starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+        n_padded = int(padded.sum())
+        pmax = max(int(n_padded * pm_frac) // G * G, G)
+
+        ref = np.full(n_padded, -1, np.int64)
+        for t in range(B):
+            (js,) = np.nonzero(adj[t])
+            ref[starts[t]:starts[t] + len(js)] = js
+        ref_tb = np.repeat(np.arange(B), padded // G)
+
+        tb, sb, npd = jax.jit(build_pair_runs, static_argnums=(1,))(
+            jnp.asarray(adj), pmax)
+        assert int(npd) == n_padded
+        k = min(pmax, n_padded)
+        np.testing.assert_array_equal(np.asarray(sb)[:k], ref[:k])
+        np.testing.assert_array_equal(
+            np.asarray(tb)[:k // G], ref_tb[:k // G])
+        if pmax > n_padded:                            # capacity tail
+            assert (np.asarray(sb)[n_padded:] == -1).all()
+            assert (np.asarray(tb)[n_padded // G:] == B - 1).all()
