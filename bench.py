@@ -2,19 +2,36 @@
 RTX-4090 `gpu+tile+full` row (40.1 FPS, ~29,880 ref-GFlop/s; Report.pdf
 Table 5, BASELINE.md).
 
-Prints ONE JSON line.  The headline value is the flagship production solver
-(`tpu+proxy`, the Chebyshev-proxy fast method); alongside it the record
-carries everything needed to audit the claims from this file alone:
+Two-tier, time-budgeted, incremental (round-3 verdict item 1: the r3
+driver capture timed out with zero output because the old monolith
+printed one JSON line only at the very end of a ~28-minute run):
 
-  * the exact-kernel ladder (tile / mxu / hybrid-1pass / hybrid-2pass FPS)
-    -- the measured basis for the "exact all-pairs is VPU-bound" analysis
-    (docs/DESIGN.md section 2),
-  * a *measured* force error of the fast solvers at the benched N (sampled
-    rows vs an exact rectangular sweep), not an extrapolation from tests,
-  * the N=500k row mirroring BASELINE.md's second north-star
-    (4090 gpu+tile+full: 7.8 FPS, ~36,300 ref-GFlop/s),
-  * the random-scheme N=200k row on the multi-level hierarchy (ops/fmm.py)
-    vs the exact kernel it replaced as the wide-box fallback.
+  * DEFAULT tier (target <= ~10 min warm): relay health pre-probe, the
+    headline proxy row, the exact-kernel ladder, N=500k, random-scheme,
+    tracked rows, the adaptive two-cluster 1M row, measured force
+    errors, and the BASELINE.md table rows.
+  * DEEP tier (``MURB_BENCH_DEEP=1``): adds the 1M-50M proxy scaling
+    ladder and the two-galaxy merger row.
+
+After EVERY stage the full consolidated record so far is printed as one
+JSON line (line-buffered): a timeout or relay death at any point still
+leaves a complete, parseable record in the output tail, and the FINAL
+line is always the most complete one.  A wall-clock budget
+(``MURB_BENCH_BUDGET_S``, default 900 s for the default tier) skips
+stages that no longer fit (named in ``skipped_for_budget``), and a
+watchdog thread force-emits and exits rc=0 if the relay hangs mid-stage
+(the observed futex-hang failure mode, CLAUDE.md).
+
+The headline value is the flagship production solver (`tpu+proxy`, the
+Chebyshev-proxy fast method); the record carries everything needed to
+audit the claims from this file alone: the exact-kernel ladder (the
+measured basis for the "exact all-pairs is VPU-bound" analysis,
+docs/DESIGN.md section 2), *measured* force errors of the fast solvers
+at the benched N (sampled rows vs an exact rectangular sweep), the
+N=500k north-star row, the random-scheme hierarchy row, and a labeled
+FPS-per-watt TDP *upper bound* (Report.pdf Table 6 analogue; no
+guest-visible TPU power telemetry exists on Cloud TPU VMs --
+scripts/measure_energy.py).
 
 GFlop/s uses the reference's accounting: 20*N^2 per step, 1024^3 divisor
 (src/common/utils/Perf.cpp:28).
@@ -22,7 +39,10 @@ GFlop/s uses the reference's accounting: 20*N^2 per step, 1024^3 divisor
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, ".")
@@ -30,6 +50,8 @@ sys.path.insert(0, ".")
 N = 200_000
 BASELINE_REF_GFLOPS = 29_880.0   # RTX-4090 gpu+tile+full @ N=200k
 BASELINE_REF_GFLOPS_500K = 36_300.0  # RTX-4090 gpu+tile+full @ N=500k
+TDP_WATTS = 200.0  # per-chip upper bound (scripts/measure_energy.py default)
+BASELINE_FPS_PER_W = 0.235  # iml-ia770 P-cores @ N=30k, Report.pdf Table 6
 
 # Best published row of every BASELINE.md table (FPS at the table's N), so
 # each table gets a measured murb-tpu row and a vs_baseline factor in this
@@ -42,6 +64,8 @@ BASELINE_TABLES = {
     "t3_scaling_n4000": (4_000, 60, 1409.74, "cpu+omp 12T iml-ia770"),
     "t4_hetero_n30000": (30_000, 60, 292.147, "hetero frac=1.0 RTX 4090"),
 }
+
+to_gflops = lambda fps, n=N: 20.0 * n * n * fps / 1024**3
 
 
 def _bodies(n, scheme="galaxy"):
@@ -68,9 +92,6 @@ def _bodies(n, scheme="galaxy"):
         # mw+andromeda merger ICs (81,920 bodies, fixed by the generator):
         # same path as scripts/demo_two_galaxies.sh step 1 + the native
         # .tab parser; cached across bench invocations.
-        import os
-        import subprocess
-
         from murb_tpu.core.init import init_milkyway_andromeda
 
         # version-suffixed cache path: any future unit-system change bumps
@@ -165,7 +186,102 @@ def force_error(n: int, scheme: str, acc_fn, sample: int = 4096,
     return float(rel.max()), float(np.percentile(rel, 99))
 
 
+class Bench:
+    """Budgeted stage runner with cumulative line emission.
+
+    Every completed (or failed) stage re-prints the FULL record as one
+    JSON line, so the most recent stdout line is always a complete,
+    parseable artifact regardless of where a timeout lands."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.deep = os.environ.get("MURB_BENCH_DEEP") == "1"
+        default_budget = 7200.0 if self.deep else 900.0
+        self.budget = float(os.environ.get("MURB_BENCH_BUDGET_S",
+                                           default_budget))
+        self.rec: dict = {
+            "metric": "ref_gflops_n200k_galaxy",
+            "value": None,
+            "unit": "GFlop/s (20*N^2/step, 1024^3 divisor, ref convention)",
+            "vs_baseline": None,
+            "tier": "deep" if self.deep else "default",
+            "budget_s": self.budget,
+            "stage_s": {},
+        }
+        self._stage = "startup"
+        # hard deadline: if a stage hangs (relay futex death, CLAUDE.md),
+        # force-emit the record so far and exit 0 -- rc=124-with-nothing
+        # is the one outcome this file exists to prevent
+        self._deadline = self.t0 + self.budget + 300.0
+        t = threading.Thread(target=self._watchdog, daemon=True)
+        t.start()
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0
+
+    def emit(self) -> None:
+        self.rec["elapsed_s"] = round(self.elapsed(), 1)
+        print(json.dumps(self.rec), flush=True)
+
+    def _watchdog(self) -> None:
+        while True:
+            time.sleep(5.0)
+            if time.time() > self._deadline:
+                self.rec["aborted_stage"] = self._stage
+                self.rec["aborted"] = ("watchdog: wall budget exceeded "
+                                       "mid-stage (relay hang playbook, "
+                                       "CLAUDE.md)")
+                self.emit()
+                os._exit(0)
+
+    def stage(self, name: str, est_s: float, fn) -> bool:
+        """Run ``fn`` if ``est_s`` still fits the budget; emit after."""
+        if self.elapsed() + est_s > self.budget:
+            self.rec.setdefault("skipped_for_budget", []).append(name)
+            self.emit()
+            return False
+        self._stage = name
+        t0 = time.time()
+        try:
+            fn()
+            ok = True
+        except Exception as e:  # a failed row must not kill the record
+            self.rec.setdefault("stage_errors", {})[name] = repr(e)[:300]
+            ok = False
+        self.rec["stage_s"][name] = round(time.time() - t0, 1)
+        self._stage = "between stages"
+        self.emit()
+        return ok
+
+
+def relay_alive(attempts: int = 2, timeout_s: float = 90.0) -> bool:
+    """Pre-probe the axon relay in a subprocess (the in-process probe can
+    hang forever on a futex -- CLAUDE.md relay-outage playbook)."""
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(5.0)
+    return False
+
+
 def main() -> None:
+    b = Bench()
+
+    if not relay_alive():
+        b.rec["relay"] = ("dead: jax.devices() hung/failed twice in 90 s "
+                          "(futex-hang failure mode, CLAUDE.md); no "
+                          "device numbers can be measured this run")
+        b.emit()
+        return
+    b.rec["relay"] = "alive (subprocess pre-probe)"
+
     from murb_tpu.cli import enable_compile_cache
 
     enable_compile_cache()
@@ -174,175 +290,229 @@ def main() -> None:
 
     import jax
 
-    to_gflops = lambda fps, n=N: 20.0 * n * n * fps / 1024**3
+    b.rec["device"] = str(jax.devices()[0])
+    b.rec["engine"] = (
+        "tpu+proxy at the measured-validated order (Chebyshev proxy, "
+        "ops/validate descent) / exact = tpu+hybrid (VPU+MXU bf16x2) / "
+        "random = tpu+proxy auto-fmm")
+    b.rec["n_bodies"] = N
 
-    # headline + exact ladder at N=200k galaxy.  The fast rows need long
-    # runs: at ~1 ms/step a 50-step window is ~50 ms total and a single
-    # relay hiccup skews it 10%+ (measured 753 vs 935 FPS run-to-run);
-    # 500 steps (~0.5 s) keeps the noise under ~2%.  The solver config is
-    # the shipping default: measured-order selection (ops/validate) picks
-    # the cheapest order whose MEASURED force error meets the 1e-4
-    # contract (descends below the static bound when the measurement
-    # certifies it -- m=12 for this box, vs the static m=16).
-    fps_proxy, eng_galaxy = measure("tpu+proxy", 500, warmup=20,
-                                    ret_engine=True)
-    galaxy_cfg = _cfg(eng_galaxy)
-    ladder = {
-        "tile": measure("tpu+tile", 8),
-        "mxu": measure("tpu+mxu", 8),
-        "hybrid_1pass": measure("tpu+hybrid+fast", 10),
-        "hybrid_2pass": measure("tpu+hybrid", 10),
-        # extended tier: exact-fp32 bf16x3 operands + Kahan blocks
-        # (5.8e-7 measured max force err; the `double` analogue)
-        "hybrid_3pass": measure("tpu+hybrid+x3", 10),
-    }
-    fps_exact = ladder["hybrid_2pass"]
+    cfgs = {}
 
-    # N=500k north-star row (BASELINE.md: 4090 7.8 FPS / ~36.3k)
-    fps_proxy_500k, eng_500k = measure("tpu+proxy", 200, n=500_000,
-                                       warmup=10, ret_engine=True)
-    fps_exact_500k = measure("tpu+hybrid", 4, n=500_000, warmup=2)
-
-    # random scheme at N=200k: the multi-level hierarchy vs the exact kernel
-    fps_fmm_random, eng_random = measure("tpu+proxy", 100, scheme="random",
-                                         warmup=5, ret_engine=True)
-    random_cfg = _cfg(eng_random)
-    fps_exact_random = measure("tpu+hybrid", 10, scheme="random")
-
-    # fully tracked run (energy, |L|, density center EVERY step via the
-    # fused force+potential proxy) -- the capability the reference ships
-    # with its metrics kernels disabled (SimulationNBodyCUDALeapfrog.cu)
-    fps_tracked = measure("tpu+tracking", 300, warmup=10,
-                          num_iterations=320,
-                          fused_proxy_m=galaxy_cfg["m"])
-    # tracked leapfrog (phase-split integrator + per-phase fused metrics):
-    # round 2 paid a second far-field sweep per phase here
-    fps_lf_tracked = measure("tpu+leapfrog+tracking", 300, warmup=10,
-                             num_iterations=512,
-                             fused_proxy_m=galaxy_cfg["m"])
-
-    # BASELINE.md Tables 1-4: the exact hybrid kernel at each table's N vs
-    # that table's best published row (single dispatch via run()).
-    tables = {}
-    for key, (tn, _ti, best_fps, label) in BASELINE_TABLES.items():
-        fps = measure("tpu+hybrid", 100 if tn <= 8_000 else 40, n=tn,
-                      warmup=5)
-        tables[key] = {
-            "n": tn,
+    # --- headline: N=200k galaxy, flagship fast solver ----------------
+    # The fast rows need long runs: at ~1 ms/step a 50-step window is
+    # ~50 ms total and a single relay hiccup skews it 10%+ (measured 753
+    # vs 935 FPS run-to-run); 500 steps (~0.5 s) keeps the noise under
+    # ~2%.  The solver config is the shipping default: measured-order
+    # selection (ops/validate) picks the cheapest order whose MEASURED
+    # force error meets the 1e-4 contract (m=12 for this box).
+    def s_headline():
+        fps, eng = measure("tpu+proxy", 500, warmup=20, ret_engine=True)
+        cfgs["galaxy"] = _cfg(eng)
+        val = to_gflops(fps)
+        b.rec.update({
+            "value": round(val, 1),
+            "vs_baseline": round(val / BASELINE_REF_GFLOPS, 3),
             "fps": round(fps, 2),
-            "ref_gflops": round(to_gflops(fps, tn), 1),
-            "baseline_fps": best_fps,
-            "baseline_row": label,
-            "vs_baseline": round(fps / best_fps, 2),
+            "proxy_cfg": cfgs["galaxy"],
+            # Report.pdf Table 6 analogue: a labeled UPPER-BOUND watts
+            # (TDP), hence a LOWER-bound FPS/W -- Cloud TPU VMs expose no
+            # power telemetry (scripts/measure_energy.py)
+            "fps_per_w_tdp_bound": {
+                "fps_per_w": round(fps / TDP_WATTS, 3),
+                "watts": TDP_WATTS,
+                "label": "LOWER bound on FPS/W at N=200k (watts = per-chip"
+                         " TDP upper bound; no TPU power telemetry)",
+                "baseline_fps_per_w_n30k": BASELINE_FPS_PER_W,
+                "baseline_row": "cpu+omp P-cores iml-ia770 @ N=30k "
+                                "(Report.pdf Table 6)",
+            },
+        })
+
+    b.stage("headline", 180, s_headline)
+
+    # --- exact-kernel ladder at N=200k ---------------------------------
+    def s_ladder():
+        ladder = {
+            "tile": measure("tpu+tile", 8),
+            "mxu": measure("tpu+mxu", 8),
+            "hybrid_1pass": measure("tpu+hybrid+fast", 10),
+            "hybrid_2pass": measure("tpu+hybrid", 10),
+            # extended tier: exact-fp32 bf16x3 operands + Kahan blocks
+            # (5.8e-7 measured max force err; the `double` analogue)
+            "hybrid_3pass": measure("tpu+hybrid+x3", 10),
         }
+        fps_exact = ladder["hybrid_2pass"]
+        b.rec.update({
+            "fps_ladder_n200k": {k: round(v, 2) for k, v in ladder.items()},
+            "fps_exact_allpairs": round(fps_exact, 2),
+            "ref_gflops_exact_allpairs": round(to_gflops(fps_exact), 1),
+            "vs_baseline_exact": round(
+                to_gflops(fps_exact) / BASELINE_REF_GFLOPS, 3),
+        })
 
-    # large-N proxy scaling ladder (previously only quoted in docs): the
-    # N-scaling capability row of the fast solver, galaxy scheme, at the
-    # measured-validated order for each box
-    ladder_large = {}
-    for tn, steps in ((1_000_000, 150), (2_000_000, 80), (5_000_000, 40),
-                      (10_000_000, 20), (20_000_000, 10), (50_000_000, 6)):
-        fps, eng = measure("tpu+proxy", steps, n=tn, warmup=5,
-                           ret_engine=True)
-        ladder_large[f"{tn // 1_000_000}M"] = {
-            "fps": round(fps, 2),
-            "ref_gflops": round(to_gflops(fps, tn), 1),
+    b.stage("exact_ladder", 150, s_ladder)
+
+    # --- N=500k north-star row (BASELINE.md: 4090 7.8 FPS / ~36.3k) ----
+    def s_500k():
+        fps_p, eng = measure("tpu+proxy", 200, n=500_000, warmup=10,
+                             ret_engine=True)
+        fps_e = measure("tpu+hybrid", 4, n=500_000, warmup=2)
+        b.rec["n500k"] = {
+            "fps_proxy": round(fps_p, 2),
+            "fps_exact": round(fps_e, 3),
+            "ref_gflops_proxy": round(to_gflops(fps_p, 500_000), 1),
+            "vs_baseline_500k": round(
+                to_gflops(fps_p, 500_000) / BASELINE_REF_GFLOPS_500K, 3),
             "cfg": _cfg(eng),
         }
 
-    # two-galaxy collision scheme (milkyway+andromeda IC family,
-    # ref: Bodies.cpp two-galaxy tab loader): the production workload of
-    # the multi-galaxy tracking engine, benched on the plain proxy solver.
-    # In the .tab's scaled units (1 kpc -> 1e9 m) the CLI-default physics
-    # is merger-correct: soft=2e8 is 0.2 kpc, dt=3600 ~3% of a rotation
-    # period (make_two_galaxy_tab.py docstring).
-    N_TWOGAL = 81_920
-    fps_twogal, eng_twogal = measure("tpu+proxy", 300, n=N_TWOGAL,
-                                     scheme="two_galaxies", warmup=10,
-                                     ret_engine=True)
+    b.stage("n500k", 150, s_500k)
 
-    # adaptive sparse solver (round-3: ops/sparse_fmm + ops/p2p) on the
+    # --- random scheme at N=200k: multi-level hierarchy vs exact -------
+    def s_random():
+        fps_f, eng = measure("tpu+proxy", 100, scheme="random", warmup=5,
+                             ret_engine=True)
+        cfgs["random"] = _cfg(eng)
+        fps_e = measure("tpu+hybrid", 10, scheme="random")
+        b.rec["random_n200k"] = {
+            "fps_fmm": round(fps_f, 2),
+            "fps_exact": round(fps_e, 2),
+            "fmm_vs_exact": round(fps_f / fps_e, 2),
+            "cfg": cfgs["random"],
+        }
+
+    b.stage("random_n200k", 120, s_random)
+
+    # --- fully tracked runs (energy, |L|, density center EVERY step via
+    # the fused force+potential proxy) -- the capability the reference
+    # ships with its metrics kernels disabled (SimulationNBodyCUDALeapfrog.cu)
+    def s_tracked():
+        m = cfgs.get("galaxy", {}).get("m", 12)
+        b.rec["fps_tracked_n200k"] = round(
+            measure("tpu+tracking", 300, warmup=10, num_iterations=320,
+                    fused_proxy_m=m), 2)
+        # tracked leapfrog (phase-split integrator + per-phase fused
+        # metrics): round 2 paid a second far-field sweep per phase here
+        b.rec["fps_leapfrog_tracked_n200k"] = round(
+            measure("tpu+leapfrog+tracking", 300, warmup=10,
+                    num_iterations=512, fused_proxy_m=m), 2)
+
+    b.stage("tracked", 150, s_tracked)
+
+    # --- adaptive sparse solver (ops/sparse_fmm + ops/p2p) on the
     # distribution class no dense config can solve: clustered cores at
     # soft 4 orders below the box.  At this N the measured-rate cost
     # model picks the adaptive path over the exact kernel (near="auto");
     # model units, so soft/dt are row-local, not the CLI defaults.
-    N_CLUST = 1_048_576
-    fps_adaptive, eng_adaptive = measure(
-        "tpu+proxy", 4, n=N_CLUST, scheme="two_clusters", warmup=1,
-        soft=0.02, dt=1e-6, ret_engine=True)
-    fps_exact_clust = measure("tpu+hybrid", 2, n=N_CLUST,
-                              scheme="two_clusters", warmup=1,
-                              soft=0.02, dt=1e-6)
+    def s_adaptive():
+        n_cl = 1_048_576
+        fps_a, eng = measure("tpu+proxy", 4, n=n_cl, scheme="two_clusters",
+                             warmup=1, soft=0.02, dt=1e-6, ret_engine=True)
+        fps_e = measure("tpu+hybrid", 2, n=n_cl, scheme="two_clusters",
+                        warmup=1, soft=0.02, dt=1e-6)
+        b.rec["adaptive_two_clusters_1m"] = {
+            "fps": round(fps_a, 3),
+            "fps_exact": round(fps_e, 3),
+            "adaptive_vs_exact": round(fps_a / fps_e, 2),
+            "cfg": _cfg(eng),
+        }
 
-    # measured force errors at the benched N (auditable accuracy claims),
-    # at each row's SHIPPING config -- the one measured-order selection
-    # actually picked above, not a hard-coded order
-    from murb_tpu.ops.fmm import acc_fmm
-    from murb_tpu.ops.proxy import acc_proxy
+    b.stage("adaptive_two_clusters_1m", 240, s_adaptive)
 
-    def _acc_at(cfg):
-        if cfg["levels"]:
-            return functools.partial(acc_fmm, m=cfg["m"],
-                                     levels=cfg["levels"])
-        return functools.partial(acc_proxy, m=cfg["m"], cells=cfg["cells"])
+    # --- measured force errors at the benched N (auditable accuracy
+    # claims), at each row's SHIPPING config -- the one measured-order
+    # selection actually picked above, not a hard-coded order
+    def s_force_err():
+        from murb_tpu.ops.fmm import acc_fmm
+        from murb_tpu.ops.proxy import acc_proxy
 
-    pmax, p99 = force_error(N, "galaxy", _acc_at(galaxy_cfg))
-    fmax, f99 = force_error(N, "random", _acc_at(random_cfg))
+        def _acc_at(cfg):
+            if cfg["levels"]:
+                return functools.partial(acc_fmm, m=cfg["m"],
+                                         levels=cfg["levels"])
+            return functools.partial(acc_proxy, m=cfg["m"],
+                                     cells=cfg["cells"])
 
-    value = to_gflops(fps_proxy)
-    print(json.dumps({
-        "metric": "ref_gflops_n200k_galaxy",
-        "value": round(value, 1),
-        "unit": "GFlop/s (20*N^2/step, 1024^3 divisor, ref convention)",
-        "vs_baseline": round(value / BASELINE_REF_GFLOPS, 3),
-        "fps": round(fps_proxy, 2),
-        "proxy_cfg": galaxy_cfg,
-        "fps_exact_allpairs": round(fps_exact, 2),
-        "ref_gflops_exact_allpairs": round(to_gflops(fps_exact), 1),
-        "vs_baseline_exact": round(to_gflops(fps_exact) / BASELINE_REF_GFLOPS, 3),
-        "fps_ladder_n200k": {k: round(v, 2) for k, v in ladder.items()},
-        "n500k": {
-            "fps_proxy": round(fps_proxy_500k, 2),
-            "fps_exact": round(fps_exact_500k, 3),
-            "ref_gflops_proxy": round(to_gflops(fps_proxy_500k, 500_000), 1),
-            "vs_baseline_500k": round(
-                to_gflops(fps_proxy_500k, 500_000) / BASELINE_REF_GFLOPS_500K,
-                3),
-            "cfg": _cfg(eng_500k),
-        },
-        "random_n200k": {
-            "fps_fmm": round(fps_fmm_random, 2),
-            "fps_exact": round(fps_exact_random, 2),
-            "fmm_vs_exact": round(fps_fmm_random / fps_exact_random, 2),
-            "cfg": random_cfg,
-        },
-        "fps_tracked_n200k": round(fps_tracked, 2),
-        "fps_leapfrog_tracked_n200k": round(fps_lf_tracked, 2),
-        "baseline_tables": tables,
-        "proxy_scaling": ladder_large,
-        "two_galaxies_n81920": {
-            "fps": round(fps_twogal, 2),
-            "ref_gflops": round(to_gflops(fps_twogal, N_TWOGAL), 1),
-            "cfg": _cfg(eng_twogal),
-        },
-        "adaptive_two_clusters_1m": {
-            "fps": round(fps_adaptive, 3),
-            "fps_exact": round(fps_exact_clust, 3),
-            "adaptive_vs_exact": round(fps_adaptive / fps_exact_clust, 2),
-            "cfg": _cfg(eng_adaptive),
-        },
-        "force_err": {
-            "proxy_galaxy_max": f"{pmax:.2e}",
-            "proxy_galaxy_p99": f"{p99:.2e}",
-            "fmm_random_max": f"{fmax:.2e}",
-            "fmm_random_p99": f"{f99:.2e}",
-        },
-        "n_bodies": N,
-        "device": str(jax.devices()[0]),
-        "engine": "tpu+proxy at the measured-validated order (Chebyshev "
-                  "proxy, ops/validate descent) / exact = tpu+hybrid "
-                  "(VPU+MXU bf16x2) / random = tpu+proxy auto-fmm",
-    }))
+        err = {}
+        if "galaxy" in cfgs:
+            pmax, p99 = force_error(N, "galaxy", _acc_at(cfgs["galaxy"]))
+            err["proxy_galaxy_max"] = f"{pmax:.2e}"
+            err["proxy_galaxy_p99"] = f"{p99:.2e}"
+        if "random" in cfgs:
+            fmax, f99 = force_error(N, "random", _acc_at(cfgs["random"]))
+            err["fmm_random_max"] = f"{fmax:.2e}"
+            err["fmm_random_p99"] = f"{f99:.2e}"
+        b.rec["force_err"] = err
+
+    b.stage("force_err", 120, s_force_err)
+
+    # --- BASELINE.md Tables 1-4: exact hybrid at each table's N vs the
+    # table's best published row (single dispatch via run()).
+    def s_tables():
+        tables = {}
+        for key, (tn, _ti, best_fps, label) in BASELINE_TABLES.items():
+            fps = measure("tpu+hybrid", 100 if tn <= 8_000 else 40, n=tn,
+                          warmup=5)
+            tables[key] = {
+                "n": tn,
+                "fps": round(fps, 2),
+                "ref_gflops": round(to_gflops(fps, tn), 1),
+                "baseline_fps": best_fps,
+                "baseline_row": label,
+                "vs_baseline": round(fps / best_fps, 2),
+            }
+        b.rec["baseline_tables"] = tables
+
+    b.stage("baseline_tables", 120, s_tables)
+
+    if b.deep:
+        # --- large-N proxy scaling ladder: the N-scaling capability row
+        # of the fast solver, galaxy scheme, at the measured-validated
+        # order for each box
+        def s_ladder_large():
+            ladder = {}
+            for tn, steps, est in ((1_000_000, 150, 240),
+                                   (2_000_000, 80, 240),
+                                   (5_000_000, 40, 300),
+                                   (10_000_000, 20, 300),
+                                   (20_000_000, 10, 420),
+                                   (50_000_000, 6, 700)):
+                if b.elapsed() + est > b.budget:
+                    b.rec.setdefault("skipped_for_budget", []).append(
+                        f"proxy_scaling_{tn // 1_000_000}M")
+                    continue
+                fps, eng = measure("tpu+proxy", steps, n=tn, warmup=5,
+                                   ret_engine=True)
+                ladder[f"{tn // 1_000_000}M"] = {
+                    "fps": round(fps, 2),
+                    "ref_gflops": round(to_gflops(fps, tn), 1),
+                    "cfg": _cfg(eng),
+                }
+                b.rec["proxy_scaling"] = ladder
+                b.emit()
+
+        b.stage("proxy_scaling", 240, s_ladder_large)
+
+        # --- two-galaxy collision scheme (milkyway+andromeda IC family,
+        # ref: Bodies.cpp two-galaxy tab loader): the production workload
+        # of the multi-galaxy tracking engine, on the plain proxy solver.
+        # In the .tab's scaled units (1 kpc -> 1e9 m) the CLI-default
+        # physics is merger-correct (make_two_galaxy_tab.py docstring).
+        def s_twogal():
+            n_tg = 81_920
+            fps, eng = measure("tpu+proxy", 300, n=n_tg,
+                               scheme="two_galaxies", warmup=10,
+                               ret_engine=True)
+            b.rec["two_galaxies_n81920"] = {
+                "fps": round(fps, 2),
+                "ref_gflops": round(to_gflops(fps, n_tg), 1),
+                "cfg": _cfg(eng),
+            }
+
+        b.stage("two_galaxies", 240, s_twogal)
+
+    b.emit()
 
 
 if __name__ == "__main__":

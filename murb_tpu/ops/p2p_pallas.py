@@ -196,7 +196,10 @@ def build_pair_runs(adj, pmax: int, G: int = DEFAULT_G):
                               jnp.cumsum(padded)[:-1]])
     n_padded = jnp.sum(padded)
 
-    nsteps = pmax // G
+    # pmax < G (below size_pmax_runs's floor) still traces: one
+    # all-padding step, zero valid pairs, instead of a trace-time
+    # ZeroDivisionError at nchunks
+    nsteps = max(1, pmax // G)
     cum_steps = jnp.cumsum(padded // G)
     tb_step = jnp.searchsorted(
         cum_steps, jnp.arange(nsteps, dtype=cum_steps.dtype), side="right"

@@ -96,7 +96,7 @@ def main() -> None:
             jnp.logical_or(adj, z > 1e30), plan.p2p_pmax)
         return (tb[0] + sb[0] + npd).astype(jnp.float32)
 
-    chain_time("build_pair_runs (scatter path)", runs_full, it)
+    chain_time("build_pair_runs (select-rank)", runs_full, it)
 
     def runs_no_scatter(z):
         adj2 = jnp.logical_or(adj, z > 1e30)

@@ -6,8 +6,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== phase 1: CPU mesh (8 virtual devices) =="
+echo "== phase 1: CPU mesh (8 virtual devices), fast gate =="
 python -m pytest tests/ -q -p no:cacheprovider
+
+echo "== phase 1b: CPU mesh, slow-marked tests =="
+MURB_TEST_SLOW=1 python -m pytest tests/ -q -m slow -p no:cacheprovider
 
 echo "== phase 2: real TPU =="
 MURB_TEST_TPU=1 python -m pytest \

@@ -75,6 +75,22 @@ def assert_within_rel(actual, expected, eps, msg="", rms_floor=0.0):
         )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Keep the default CPU gate fast: tests marked ``slow`` (interpret-mode
+    Pallas ring/P2P sweeps, the two-process multihost test, ...) only run
+    with MURB_TEST_SLOW=1 (run_tests.sh phase 1b) or on the chip suite
+    (MURB_TEST_TPU=1), so `pytest -q` stays a quick iteration gate without
+    losing coverage anywhere that matters."""
+    if os.environ.get("MURB_TEST_SLOW") == "1" \
+            or os.environ.get("MURB_TEST_TPU") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow: run with MURB_TEST_SLOW=1 (run_tests.sh phase 1b)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def n_devices():
     return len(jax.devices())

@@ -192,6 +192,7 @@ def test_fused_grid_anterpolation_matches_jnp():
             atol=float(jnp.max(jnp.abs(a1[k]))) * 5e-5)
 
 
+@pytest.mark.slow
 def test_fused_m2l_matches_jnp():
     """Pallas fused M2L (interpret mode) reproduces the jnp level sweep for
     every (subset, with_phi) variant, including a non-tile-divisible
@@ -419,6 +420,7 @@ def test_proxy_health_reports_fmm_mode():
     assert h["levels"] == 2 and h["using_proxy"] and h["ok"]
 
 
+@pytest.mark.slow
 def test_adaptive_order_expanding_system():
     """An expanding system must keep force error <= tol across the
     transition: --adapt-every re-derives the order/mode from the current

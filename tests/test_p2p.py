@@ -70,6 +70,7 @@ def test_morton_key_orders_locally():
     assert k[0] < k[1] < k[2]
 
 
+@pytest.mark.slow
 def test_p2p_sweep_matches_bruteforce_nearfield():
     """The P2P stage is EXACT on the 27-neighborhood pair set (the
     brick-pair superset is pruned by the in-kernel cell-offset mask)."""
@@ -225,6 +226,7 @@ def test_p2p_pallas_matches_jnp_sweep():
                                np.asarray(ref_phi)[sel], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_p2p_pallas_double_buffer_race_free():
     """The kernel's double-buffered source-DMA protocol (two buffers,
     two semaphores, start-ahead one grid step) is clean under the

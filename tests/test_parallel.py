@@ -99,6 +99,7 @@ def test_shard_proxy_promotes_wide_box_to_fmm(n_devices):
     assert e.fmm_levels >= 1
 
 
+@pytest.mark.slow
 def test_shard_fmm_matches_oracle(n_devices):
     """Distributed multi-level hierarchy on the wide random box: only the
     (C^3, m^3) expansion tensor crosses shards."""
@@ -116,6 +117,7 @@ def test_shard_fmm_matches_oracle(n_devices):
                               rms_floor=1e-6)
 
 
+@pytest.mark.slow
 def test_shard_fmm_equals_single_chip_fmm(n_devices):
     """Sharded and single-device hierarchy land on the same trajectory
     (same geometry forced on both: m=10, L=2)."""
@@ -132,6 +134,7 @@ def test_shard_fmm_equals_single_chip_fmm(n_devices):
         assert_within_rel(db[c], da[c], 1e-4, f"shard fmm {c}")
 
 
+@pytest.mark.slow
 def test_shard_fmm_heavy_on_nonzero_shard(n_devices):
     """The exact heavy-body correction must work under the hierarchy too:
     galaxy scaled up so the box forces fmm, central mass moved off shard 0."""

@@ -62,6 +62,7 @@ def test_adaptive_clustered_wide_box(dense_levels, levels):
     assert _max_rel_err(a, ref, gm) <= 1e-4
 
 
+@pytest.mark.slow
 def test_adaptive_uniform_converges_with_order():
     rng = np.random.default_rng(1)
     n, npad = 4000, 4096

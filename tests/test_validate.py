@@ -103,6 +103,7 @@ def test_random_box_meets_tol():
     assert e.validated_err is not None and e.validated_err <= e.tol
 
 
+@pytest.mark.slow
 def test_two_cluster_box_escalates_to_tol():
     """The adversarial distribution: the static pick misses tol by >20x;
     the engine must escalate until the measured contract holds."""
