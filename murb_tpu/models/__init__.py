@@ -116,14 +116,14 @@ def _build_registry():
     register(
         "tpu+tracking",
         lambda b, **kw: E.TrackingEngine(
-            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm", "fused_adaptive", "m2l_dots", "validated_half")
+            b, **_filter(kw, "num_iterations", "history", "acc_fn", "metric_dtype", "metrics_method", "metrics_proxy_m", "fused_proxy_m", "fused_fmm", "fused_adaptive", "m2l_dots", "validated_half", "fused_exact")
         ),
         aliases=("gpu+tracking",),
     )
     register(
         "tpu+tracking+multi",
         lambda b, **kw: E.MultiGalaxyTrackingEngine(
-            b, **_filter(kw, "num_iterations", "masks", "acc_fn", "metric_dtype", "fused_proxy_m", "fused_fmm", "metrics_method", "metrics_proxy_m")
+            b, **_filter(kw, "num_iterations", "masks", "acc_fn", "metric_dtype", "fused_proxy_m", "fused_fmm", "fused_adaptive", "metrics_method", "metrics_proxy_m", "m2l_dots", "validated_half", "fused_exact")
         ),
         aliases=("gpu+tracking+multi",),
     )

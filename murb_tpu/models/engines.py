@@ -1159,7 +1159,8 @@ class TrackingEngine(EulerAccelEngine):
                  metrics_proxy_m: int = 16, fused_proxy_m: int = 0,
                  fused_fmm: tuple = (), fused_adaptive=None,
                  m2l_dots: str = "fp32",
-                 validated_half: float | None = None, **kw):
+                 validated_half: float | None = None,
+                 fused_exact: bool | None = None, **kw):
         kwargs = {}
         if soft is not None:
             kwargs["soft"] = soft
@@ -1189,8 +1190,25 @@ class TrackingEngine(EulerAccelEngine):
         self._fused_adaptive = fused_adaptive  # SparsePlan or None
         self._m2l_dots = _check_m2l_dots(m2l_dots)
         self._validated_half = validated_half
+        self._fused_exact = fused_exact
         self._mscales = metrics_mod.metric_scales(self._state)
         self._tracked_step = None
+
+    def _use_fused_exact(self) -> bool:
+        """Whether the exact tracked step should run the fused
+        force+potential hybrid kernel (ops/hybrid.acc_phi_rows_hybrid:
+        ONE all-pairs sweep for both fields) instead of a force kernel
+        plus a separate potential sweep.  Auto = on the TPU backend,
+        when no fast far-field is configured, metrics are exact, and no
+        custom acc_fn is wired.  ``fused_exact`` forces it either way
+        (tests run it in interpret mode)."""
+        if (self._acc is not None or self._metrics_method != "exact"
+                or self._fused_proxy_m or self._fused_fmm
+                or self._fused_adaptive is not None):
+            return False
+        if self._fused_exact is not None:
+            return self._fused_exact
+        return jax.default_backend() == "tpu"
 
     def _acc_fn(self, qx, qy, qz, gm):
         fn = self._acc or _default_exact_acc
@@ -1218,6 +1236,17 @@ class TrackingEngine(EulerAccelEngine):
             )
             mets = _phi_metrics(state, phi, self.soft, self._metric_dtype,
                                 self._mscales)
+        elif self._use_fused_exact():
+            # exact tracked step, one sweep: force + potential share the
+            # distance chain (ops/hybrid.acc_phi_rows_hybrid) instead of
+            # a force kernel plus a separate O(N^2) potential sweep
+            from murb_tpu.ops.hybrid import acc_phi_rows_hybrid
+
+            gm = self._gm(state)
+            acc, phir = acc_phi_rows_hybrid(
+                state.qx, state.qy, state.qz, gm, gm[None, :], self.soft)
+            mets = _phi_metrics(state, phir[0], self.soft,
+                                self._metric_dtype, self._mscales)
         else:
             acc = self._acc_fn(state.qx, state.qy, state.qz, self._gm(state))
             mets = self._metrics(state)
@@ -1324,11 +1353,13 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
                  masks, **kw):
         from murb_tpu.core.history import MultiGalaxySimulationHistory
 
-        if kw.get("fused_proxy_m") or kw.get("fused_fmm"):
+        if kw.get("fused_fmm") or kw.get("fused_adaptive") is not None:
             raise ValueError(
-                "fused_proxy_m/fused_fmm are not supported with per-galaxy "
-                "masks; use metrics_method='proxy' for fast masked metrics "
-                "instead"
+                "per-galaxy fused metrics support the single-level proxy "
+                "(fused_proxy_m) and the exact kernel; the L-level/adaptive "
+                "hierarchies would need per-galaxy weight channels through "
+                "every level sweep -- use fused_proxy_m, or "
+                "metrics_method='proxy' for fast masked metrics"
             )
         history = MultiGalaxySimulationHistory(
             num_iterations, num_galaxies=len(masks)
@@ -1368,13 +1399,20 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
         PER galaxy; KE / |L| / density centers are O(N) masked
         reductions.  Falls back to the per-galaxy loop above for > 8
         galaxies or proxy-method metrics."""
-        import dataclasses
-
         from murb_tpu.ops.hybrid import phi_rows
 
         gm = self._gm(state)
         rows = jnp.stack([gm * m.astype(gm.dtype) for m in self.masks])
         phi = phi_rows(state.qx, state.qy, state.qz, rows, self.soft)
+        return self._metrics_from_phi_rows(state, phi)
+
+    def _metrics_from_phi_rows(self, state, phi):
+        """Per-galaxy (energy, |L|, density center) stacks from per-galaxy
+        potential rows ``phi`` (G, n) already in hand (from phi_rows, the
+        fused exact kernel, or the per-galaxy proxy pass); KE / |L| /
+        density centers are O(N) masked reductions."""
+        import dataclasses
+
         out_dtype, sc = self._metric_dtype, self._mscales
         es, ls, dcs = [], [], []
         for g, mask in enumerate(self.masks):
@@ -1387,6 +1425,36 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
             dcs.append(metrics_mod.density_center(mstate, out_dtype,
                                                   scales=sc))
         return jnp.stack(es), jnp.stack(ls), jnp.stack(dcs)
+
+    def _step_with_metrics(self, state):
+        """Fused multi-galaxy step: force AND every per-galaxy potential
+        from ONE far-field pass (the per-galaxy proxy when fused_proxy_m
+        is configured, the fused exact sweep otherwise on TPU), instead
+        of a force pass plus a separate potential sweep per step --
+        measured 17.4 vs 33.5 untracked FPS on the 82k merger before
+        this (round-3 VERDICT item 5)."""
+        dt = self._dt
+        gm = self._gm(state)
+        if self._fused_proxy_m:
+            from murb_tpu.ops.proxy import force_and_potential_proxy_pergal
+
+            masks_f = jnp.stack([mk.astype(state.qx.dtype)
+                                 for mk in self.masks])
+            acc, phi_gal = force_and_potential_proxy_pergal(
+                state.qx, state.qy, state.qz, gm, masks_f, self.soft,
+                m=self._fused_proxy_m)
+            mets = self._metrics_from_phi_rows(state, phi_gal)
+        elif self._use_fused_exact() and len(self.masks) <= 8:
+            from murb_tpu.ops.hybrid import acc_phi_rows_hybrid
+
+            rows = jnp.stack([gm * mk.astype(gm.dtype)
+                              for mk in self.masks])
+            acc, phi_gal = acc_phi_rows_hybrid(
+                state.qx, state.qy, state.qz, gm, rows, self.soft)
+            mets = self._metrics_from_phi_rows(state, phi_gal)
+        else:
+            return super()._step_with_metrics(state)
+        return euler_update(state, acc, dt), acc, mets
 
     def _record(self, i, es, ls, dcs):
         if i >= self.history.num_iterations:

@@ -332,3 +332,144 @@ def phi_rows(qx, qy, qz, gm_rows, soft, *, passes: int = 2,
     """Square all-pairs multi-row potential sweep."""
     return phi_rows_rect(qx, qy, qz, qx, qy, qz, gm_rows, soft,
                          passes=passes, interpret=interpret)
+
+
+# ------------------------------------- fused force + multi-row potential
+def _hybrid_phi_kernel(qxj, qyj, qzj, qxi, qyi, qzi, ap, gmr,
+                       axo, ayo, azo, phio, acc, accp, *, soft2, passes):
+    """The force kernel and the multi-row potential kernel FUSED: one
+    distance chain + rsqrt per pair feeds both the inv^3 force dot and
+    the inv potential dot.  The per-pair increment over force-only is
+    the inv split (~2 VPU slots) plus MXU dots that overlap the VPU
+    chain -- measured far cheaper than a second full sweep (the
+    tracked-multi merger previously paid force + phi_rows back to back).
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    f32 = lambda r: r[...].astype(jnp.float32)
+    dx = f32(qxj) - f32(qxi)            # (BJ,1) - (1,BI) -> (BJ,BI)
+    dy = f32(qyj) - f32(qyi)
+    dz = f32(qzj) - f32(qzi)
+    d2 = (dx * dx + soft2) + dy * dy + dz * dz
+    inv = jax.lax.rsqrt(d2)
+    w32 = inv * inv * inv
+
+    apb = jnp.concatenate(_bsplit(ap[...].astype(jnp.float32), 2), axis=0)
+    gb = jnp.concatenate(_bsplit(gmr[...].astype(jnp.float32), 2), axis=0)
+
+    def dot_p(a16, w):
+        pb = jax.lax.dot_general(
+            a16, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return pb[0:8, :] + pb[8:16, :]
+
+    if passes == 1:
+        w_parts = [w32.astype(jnp.bfloat16)]
+        i_parts = [inv.astype(jnp.bfloat16)]
+    else:
+        w_parts = _bsplit(w32, passes)
+        i_parts = _bsplit(inv, passes)
+    p = dot_p(apb, w_parts[0])
+    pp = dot_p(gb, i_parts[0])
+    for wp, ip in zip(w_parts[1:], i_parts[1:]):
+        p += dot_p(apb, wp)
+        pp += dot_p(gb, ip)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = p
+        accp[...] = pp
+
+    @pl.when(j > 0)
+    def _accumulate():
+        acc[...] += p
+        accp[...] += pp
+
+    @pl.when(j == nj - 1)
+    def _epilogue():
+        s = acc[...]
+        sw = s[3:4, :]
+        axo[...] = s[0:1, :] - qxi[...].astype(jnp.float32) * sw
+        ayo[...] = s[1:2, :] - qyi[...].astype(jnp.float32) * sw
+        azo[...] = s[2:3, :] - qzi[...].astype(jnp.float32) * sw
+        phio[...] = accp[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("soft", "block_i", "block_j", "passes", "interpret"),
+)
+def acc_phi_rows_hybrid(qx, qy, qz, gm, gm_rows, soft, *,
+                        block_i: int = 0, block_j: int = 0,
+                        passes: int = 2,
+                        interpret: bool | None = None):
+    """(Accel, phi (R, n)): forces from the full ``gm`` AND up to 8
+    masked-row potentials in ONE all-pairs sweep.
+
+    The multi-galaxy tracking engine packs one masked G*m row per galaxy
+    (plus the total row when it needs the global potential) and gets
+    every per-galaxy potential for the cost of the force sweep plus a
+    second MXU dot -- previously it ran the force kernel AND a separate
+    phi_rows sweep per step (measured 17.4 vs 33.5 FPS untracked on the
+    82k merger).  The potential includes the j == i self term, exactly
+    like the reference's tile sweep (callers compensate with Gm_i/eps,
+    ref: SimulationNBodyCUDAPropertyTracking.cu:296-302)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert passes in (1, 2), passes
+    r = gm_rows.shape[0]
+    assert r <= 8, r
+    from murb_tpu.ops.common import notify_fp32_compute
+
+    notify_fp32_compute(f"tpu+hybrid+phi/p{passes}", qx.dtype)
+    n = qx.shape[0]
+    bi = block_i or pick_block(n, 2048)
+    bj = block_j or pick_block(n, 1024)
+    assert n % bi == 0 and n % bj == 0, (n, bi, bj)
+    dtype = qx.dtype
+    soft2 = float(soft) ** 2
+
+    zeros = jnp.zeros_like(gm)
+    a_p = jnp.stack([gm * qx, gm * qy, gm * qz, gm,
+                     zeros, zeros, zeros, zeros]).astype(jnp.float32)
+    gmr = jnp.zeros((8, n), jnp.float32).at[:r].set(
+        gm_rows.astype(jnp.float32))
+    qxj, qyj, qzj, qxi, qyi, qzi = f32_inputs(qx, qy, qz, qx, qy, qz)
+
+    jspec = BlockSpec((bj, 1), lambda i, j: (j, 0))
+    ispec = BlockSpec((1, bi), lambda i, j: (0, i))
+    aspec = BlockSpec((8, bj), lambda i, j: (0, j))
+    ospec = BlockSpec((1, bi), lambda i, j: (0, i))
+    pspec = BlockSpec((8, bi), lambda i, j: (0, i))
+
+    col = lambda a: a.reshape(-1, 1)
+    row = lambda a: a.reshape(1, -1)
+
+    ax, ay, az, phi = pl.pallas_call(
+        functools.partial(_hybrid_phi_kernel, soft2=soft2, passes=passes),
+        grid=(n // bi, n // bj),
+        in_specs=[jspec, jspec, jspec, ispec, ispec, ispec, aspec, aspec],
+        out_specs=[ospec, ospec, ospec, pspec],
+        out_shape=[jax.ShapeDtypeStruct((1, n), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((8, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, bi), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * n * n,
+            bytes_accessed=int((16 * n * (n // bi) + 16 * n) * 4),
+            transcendentals=n * n,
+        ),
+        interpret=interpret,
+    )(col(qxj), col(qyj), col(qzj), row(qxi), row(qyi), row(qzi), a_p, gmr)
+
+    return (
+        Accel(ax.reshape(n).astype(dtype), ay.reshape(n).astype(dtype),
+              az.reshape(n).astype(dtype)),
+        phi[:r].astype(dtype),
+    )

@@ -382,6 +382,155 @@ def force_and_potential_proxy(qx, qy, qz, gm, soft, *, m: int = 16,
     return Accel(acc[:, 0], acc[:, 1], acc[:, 2]), phi
 
 
+def heavy_source_phi_rows(qx, qy, qz, hq, heavy_gm_rows, soft):
+    """Exact N x k sweep, R mass rows at once: (R, n) potential
+    contributions of the heavy sources under per-row heavy masses
+    ``heavy_gm_rows`` (R, k) -- one distance build for every row."""
+    dtype = qx.dtype
+    hqx, hqy, hqz = hq
+    dx = hqx[None, :] - qx[:, None]
+    dy = hqy[None, :] - qy[:, None]
+    dz = hqz[None, :] - qz[:, None]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz
+                        + jnp.asarray(soft, dtype) ** 2)       # (n, k)
+    return jnp.einsum("gk,jk->gj", heavy_gm_rows, inv,
+                      precision=_EINSUM_PRECISION)
+
+
+def heavy_target_phi_rows(qx, qy, qz, gm_rows, hq, soft):
+    """Exact k x N sweep, R source-mass rows at once: (R, k) potentials
+    AT the heavy bodies under per-row source masses ``gm_rows`` (R, n)."""
+    dtype = qx.dtype
+    hqx, hqy, hqz = hq
+    dx = qx[None, :] - hqx[:, None]
+    dy = qy[None, :] - hqy[:, None]
+    dz = qz[None, :] - hqz[:, None]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz
+                        + jnp.asarray(soft, dtype) ** 2)       # (k, n)
+    return jnp.einsum("gj,kj->gk", gm_rows, inv,
+                      precision=_EINSUM_PRECISION)
+
+
+def force_and_potential_node_sweep_rows(px, py, pz, w, w_rows, soft):
+    """(Accel, phi_rows (R, P)) over the proxy nodes in ONE pass: the
+    force field (total weights ``w``) and R per-row potential fields
+    (``w_rows`` (R, P), e.g. one masked weight set per galaxy) all share
+    the distance tensors and the rsqrt build.  Broadcast form -- callers
+    keep P below the ~8k memory threshold (see
+    force_and_potential_node_sweep)."""
+    dtype = px.dtype
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    dx = px[None, :] - px[:, None]
+    dy = py[None, :] - py[:, None]
+    dz = pz[None, :] - pz[:, None]
+    inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + soft2)
+    phi = jnp.einsum("gv,uv->gu", w_rows, inv,
+                     precision=_EINSUM_PRECISION)
+    wi3 = w[None, :] * (inv * inv * inv)
+    f = Accel(jnp.sum(wi3 * dx, 1), jnp.sum(wi3 * dy, 1),
+              jnp.sum(wi3 * dz, 1))
+    return f, phi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("soft", "m", "heavy_k", "heavy_factor", "block"),
+)
+def force_and_potential_proxy_pergal(qx, qy, qz, gm, masks, soft, *,
+                                     m: int = 16, heavy_k: int = 1,
+                                     heavy_factor: float =
+                                     DEFAULT_HEAVY_FACTOR,
+                                     block: int = 0):
+    """(Accel, phi (G, n)): forces plus PER-GALAXY potentials in one
+    proxy pass.
+
+    ``masks`` (G, n): 0/1 galaxy membership rows.  The far field is
+    linear in the source masses, so each galaxy's potential is the same
+    interpolation machinery applied to a masked weight set: G extra P2M
+    channels, G extra node potential fields riding the force sweep's
+    distance tensors, and G extra rows through the fused L2P -- NOT a
+    separate O(N*m^3) sweep per galaxy (what the multi-galaxy tracking
+    engine previously paid, engines.py round-3).  Heavy corrections are
+    applied per galaxy with shared distance builds (the rows variants
+    above).  Self term included per row, like the reference's tile sweep
+    (ref: SimulationNBodyCUDAPropertyTracking.cu:296-302)."""
+    dtype = qx.dtype
+    n = qx.shape[0]
+    ngal = masks.shape[0]
+    gm_pos = gm > 0
+
+    c, h = bounding_box(qx, qy, qz, gm_pos)
+    k = max(min(heavy_k, n), 1)
+    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
+    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
+        qx, qy, qz, gm, k, heavy_factor, mean_gm
+    )
+
+    from murb_tpu.ops.proxy_pallas import fused_block
+
+    blk = fused_block(n, m)
+    if blk and block:
+        from murb_tpu.ops.common import pick_block
+
+        blk = pick_block(n, min(block, blk * 4))
+    block = blk
+    if block:
+        from murb_tpu.ops.common import notify_fp32_compute
+
+        notify_fp32_compute("tpu+proxy (fused anterpolation)", dtype)
+        from murb_tpu.ops.proxy_pallas import l2p_fused_multi, p2m_fused
+
+        w = p2m_fused(qx, qy, qz, gm_eff, c, h, m=m, block=block)
+        wg = jnp.stack([
+            p2m_fused(qx, qy, qz, gm_eff * masks[g], c, h, m=m, block=block)
+            for g in range(ngal)
+        ])
+    else:
+        sx, syz = bases(qx, qy, qz, c, h, m)
+        w = p2m(sx, syz, gm_eff, m)
+        wg = jnp.stack([p2m(sx, syz, gm_eff * masks[g], m)
+                        for g in range(ngal)])
+    px, py, pz = proxy_nodes(c, h, m, dtype)
+    if px.shape[0] < 8000:
+        f, phi_nodes = force_and_potential_node_sweep_rows(
+            px, py, pz, w, wg, soft)
+    else:
+        f = node_sweep(px, py, pz, w, soft)
+        phi_nodes = jnp.stack([potential_node_sweep(px, py, pz, wg[g], soft)
+                               for g in range(ngal)])
+    if block:
+        outs = l2p_fused_multi(
+            qx, qy, qz, c, h,
+            (f.ax, f.ay, f.az) + tuple(phi_nodes[g] for g in range(ngal)),
+            m=m, block=block,
+        )
+        acc = jnp.stack(outs[:3], axis=1)
+        phi_gal = jnp.stack(outs[3:])
+    else:
+        acc = l2p(sx, syz, f, m)
+        phi_gal = jnp.stack([l2p_scalar(sx, syz, phi_nodes[g], m)
+                             for g in range(ngal)])
+
+    # heavy sources exactly, per galaxy (shared distance builds)
+    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
+    hrows = masks[:, top_idx] * heavy_gm[None, :]              # (G, k)
+    phi_gal = phi_gal + heavy_source_phi_rows(qx, qy, qz, hq, hrows, soft)
+
+    # heavy targets exactly
+    hqx, hqy, hqz = hq
+    ht = acc_rect(hqx, hqy, hqz, qx, qy, qz, gm, soft)
+    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
+    acc = acc.at[top_idx].set(
+        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
+    )
+    phi_h = heavy_target_phi_rows(qx, qy, qz, masks * gm[None, :], hq, soft)
+    phi_gal = phi_gal.at[:, top_idx].set(
+        jnp.where(is_heavy[None, :], phi_h, phi_gal[:, top_idx])
+    )
+
+    return Accel(acc[:, 0], acc[:, 1], acc[:, 2]), phi_gal
+
+
 def l2p(sx, syz, f: Accel, m: int):
     """a (n, 3): interpolate node forces back to the bodies.
 

@@ -223,6 +223,7 @@ def test_leapfrog_tracking_fused_matches_separate():
     np.testing.assert_allclose(db["qx"], da["qx"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_leapfrog_tracking_fused_fmm_run_matches_stepwise():
     """The fused hierarchy path must agree between the fori_loop fast path
     (run) and the per-phase stepwise path, including the recorded series."""
@@ -250,17 +251,22 @@ def test_tracking_fused_paths_exclusive():
                       num_iterations=2, fused_proxy_m=16, fused_fmm=(10, 2))
 
 
-def test_multi_galaxy_rejects_fused_paths():
-    """The per-galaxy-mask engine cannot use the fused single-phi steps;
-    the guard must fire for both (the registry filter forwards them)."""
+def test_multi_galaxy_fused_support_matrix():
+    """The per-galaxy-mask engine supports the per-galaxy proxy pass
+    (fused_proxy_m, round-4: ops/proxy.force_and_potential_proxy_pergal)
+    but still rejects the single-phi hierarchy steps (fused_fmm /
+    fused_adaptive lack per-galaxy weight channels); the guard must fire
+    through the registry filter."""
     import jax.numpy as jnp
 
     bodies = SCHEMES["random"](512, 1)
     masks = [jnp.arange(bodies.npad) < 256, jnp.arange(bodies.npad) >= 256]
-    for kw in ({"fused_proxy_m": 16}, {"fused_fmm": (10, 2)}):
-        with pytest.raises(ValueError, match="fused_"):
-            create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
-                          num_iterations=2, masks=masks, **kw)
+    e = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=2, masks=masks, fused_proxy_m=16)
+    assert e._fused_proxy_m == 16
+    with pytest.raises(ValueError, match="fused_"):
+        create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=2, masks=masks, fused_fmm=(10, 2))
 
 
 def test_tracking_repad_invariance():

@@ -72,14 +72,61 @@ def test_finalize_history_idempotent():
     np.testing.assert_array_equal(h1, h2)
 
 
-def test_fused_rejected_with_masks():
-    import pytest
-
+def test_fused_hierarchies_rejected_with_masks():
+    """fused_fmm / fused_adaptive still lack per-galaxy weight channels;
+    the ctor must say so loudly (fused_proxy_m IS supported now)."""
     bodies = SCHEMES["random"](512, 3)
     with pytest.raises(ValueError, match="fused_proxy_m"):
         create_engine("tpu+tracking+multi", bodies, num_iterations=2,
                       masks=_half_masks(bodies.npad, bodies.n),
+                      fused_fmm=(8, 2))
+
+
+def test_fused_exact_step_matches_unfused():
+    """The one-sweep fused force+per-galaxy-potential step
+    (ops/hybrid.acc_phi_rows_hybrid) must reproduce the unfused
+    force-then-phi_rows engine within kernel accuracy."""
+    bodies = SCHEMES["random"](1024, 5)
+    iters = 2
+    masks = _half_masks(bodies.npad, bodies.n)
+    a = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, masks=masks)          # unfused
+    b = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, masks=masks,
+                      fused_exact=True)
+    assert not a._use_fused_exact() and b._use_fused_exact()
+    a.run(iters)
+    b.run(iters)
+    for g in range(2):
+        np.testing.assert_allclose(
+            b.history.galaxies[g].energies,
+            a.history.galaxies[g].energies, rtol=2e-3,
+        )
+        np.testing.assert_allclose(
+            b.history.galaxies[g].ang_momentums,
+            a.history.galaxies[g].ang_momentums, rtol=2e-3,
+        )
+
+
+def test_fused_proxy_pergal_engine_matches_exact_metrics():
+    """fused_proxy_m in the multi engine: per-galaxy energies from the
+    per-galaxy proxy pass must match the exact masked-sweep engine at
+    the proxy's accuracy."""
+    bodies = SCHEMES["galaxy"](2048, 9)
+    iters = 2
+    masks = _half_masks(bodies.npad, bodies.n)
+    a = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, masks=masks)          # exact
+    b = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, masks=masks,
                       fused_proxy_m=16)
+    a.run(iters)
+    b.run(iters)
+    for g in range(2):
+        np.testing.assert_allclose(
+            b.history.galaxies[g].energies,
+            a.history.galaxies[g].energies, rtol=5e-3,
+        )
 
 
 def test_multigalaxy_proxy_metrics_plumbed():
@@ -145,3 +192,37 @@ def test_fused_phi_rows_matches_masked_sweeps():
         assert float(ls[g]) == pytest.approx(float(ref[g][1]), rel=1e-5)
         np.testing.assert_allclose(np.asarray(dcs[g]),
                                    np.asarray(ref[g][2]), rtol=1e-5)
+
+
+def test_acc_phi_rows_hybrid_matches_split_kernels():
+    """The fused force+multi-row-potential kernel must reproduce the
+    separate hybrid force kernel and phi_rows sweep it fuses (same
+    per-pair math, same split tiers -> tight agreement), and the naive
+    oracle at kernel accuracy."""
+    import jax.numpy as jnp
+
+    from murb_tpu import G
+    from murb_tpu.ops.hybrid import acc_hybrid, acc_phi_rows_hybrid, phi_rows
+    from murb_tpu.ops.naive import acc_naive
+
+    from conftest import assert_within_rel
+
+    n = 1024
+    bodies = SCHEMES["random"](n, 13)
+    gm = jnp.asarray(np.float32(G) * np.asarray(bodies.m))
+    rows = jnp.stack([gm * jnp.asarray(m) for m in
+                      _half_masks(bodies.npad, n)])
+
+    acc, phi = acc_phi_rows_hybrid(bodies.qx, bodies.qy, bodies.qz, gm,
+                                   rows, SOFT)
+    acc_ref = acc_hybrid(bodies.qx, bodies.qy, bodies.qz, gm, SOFT,
+                         passes=2)
+    phi_ref = phi_rows(bodies.qx, bodies.qy, bodies.qz, rows, SOFT)
+    assert_within_rel(np.asarray(acc.ax), np.asarray(acc_ref.ax), 1e-6,
+                      "fused ax vs hybrid", rms_floor=1e-6)
+    assert_within_rel(np.asarray(phi), np.asarray(phi_ref), 1e-6,
+                      "fused phi vs phi_rows", rms_floor=1e-6)
+
+    oracle = acc_naive(bodies.qx, bodies.qy, bodies.qz, gm, SOFT)
+    assert_within_rel(np.asarray(acc.ax), np.asarray(oracle.ax), 2e-4,
+                      "fused ax vs naive", rms_floor=2e-4)

@@ -76,6 +76,7 @@ def test_proxy_mid_box_high_order():
                       "proxy m=28 ax", rms_floor=5e-4)
 
 
+@pytest.mark.slow
 def test_proxy_two_level_covers_random_scheme():
     """Explicit octant decomposition matches the oracle on the random scheme
     within the reference tolerance (the auto policy only picks it when the
@@ -103,6 +104,7 @@ def test_proxy_auto_policy():
     assert gal.using_proxy and gal.cells == 1
 
 
+@pytest.mark.slow
 def test_proxy_two_level_force_accuracy():
     s = SCHEMES["random"](2048, 5)
     gm = np.float32(G) * s.m
@@ -216,3 +218,49 @@ def test_fused_pallas_stages_match_xla(n_devices):
     got = np.stack([np.asarray(g) for g in got], axis=1)
     np.testing.assert_allclose(got, ref, rtol=1e-4,
                                atol=1e-5 * np.abs(ref).max())
+
+
+def test_pergal_proxy_matches_fused_and_masked_exact():
+    """force_and_potential_proxy_pergal: the acc must match the plain
+    fused pass, the per-galaxy phis must SUM to the plain pass's total
+    phi (linearity), and each galaxy's phi must match an exact masked
+    potential sweep at proxy accuracy."""
+    import jax.numpy as jnp
+
+    from murb_tpu.ops.proxy import (
+        force_and_potential_proxy,
+        force_and_potential_proxy_pergal,
+    )
+
+    n = 2048
+    s = SCHEMES["galaxy"](n, 11)
+    gm = jnp.asarray(np.float32(G) * np.asarray(s.m))
+    masks = np.zeros((2, s.npad), np.float32)
+    masks[0, : n // 2] = 1.0
+    masks[1, n // 2: n] = 1.0
+    masks = jnp.asarray(masks)
+
+    acc_ref, phi_ref = force_and_potential_proxy(
+        s.qx, s.qy, s.qz, gm, SOFT, m=12)
+    acc, phi_gal = force_and_potential_proxy_pergal(
+        s.qx, s.qy, s.qz, gm, masks, SOFT, m=12)
+
+    assert phi_gal.shape == (2, s.npad)
+    for name, g, r in (("ax", acc.ax, acc_ref.ax), ("az", acc.az,
+                                                    acc_ref.az)):
+        assert_within_rel(np.asarray(g), np.asarray(r), 1e-5,
+                          f"pergal {name}", rms_floor=1e-5)
+    # linearity: galaxy phis partition the total potential
+    assert_within_rel(np.asarray(phi_gal[0] + phi_gal[1]),
+                      np.asarray(phi_ref), 1e-4, "pergal phi sum",
+                      rms_floor=1e-4)
+    # each galaxy row vs an exact masked potential sweep (self term
+    # included in both, like the reference's tile sweep)
+    q = np.stack([np.asarray(s.qx), np.asarray(s.qy), np.asarray(s.qz)], 1)
+    soft2 = np.float32(SOFT) ** 2
+    d2 = ((q[None, :, :] - q[:, None, :]) ** 2).sum(-1) + soft2
+    inv = 1.0 / np.sqrt(d2)
+    for gal in range(2):
+        exact = inv @ (np.asarray(gm) * np.asarray(masks[gal]))
+        assert_within_rel(np.asarray(phi_gal[gal]), exact, 5e-3,
+                          f"pergal phi[{gal}] vs exact", rms_floor=5e-4)
