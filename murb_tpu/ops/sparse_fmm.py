@@ -97,6 +97,10 @@ class SparsePlan(NamedTuple):
     #: kernel, TPU; p2p_pmax is then the RUN-padded capacity) or "jnp"
     #: (the gather-based sweep, any backend; chunk-padded capacity)
     p2p_impl: str = "jnp"
+    #: M2L shared-basis compression rank (m2l_sparse_level): -1 = the
+    #: m-dependent default (default_m2l_rank -- survives _plan_at's
+    #: validation-ladder m swaps), 0 = off, >0 = explicit
+    m2l_rank: int = -1
 
 
 # ------------------------------------------------------------ id helpers
@@ -452,8 +456,74 @@ def _neighbor_slots(cells, C: int, offs: np.ndarray, par: np.ndarray):
     return spos, ok & (spos < cap)
 
 
+@functools.lru_cache(maxsize=None)
+def _m2l_basis(m: int, rank: int) -> np.ndarray:
+    """(m^3, rank) orthonormal shared basis of the far transfer family:
+    top eigenvectors of the Gram sum_k (T_k^T T_k + T_k T_k^T) over all
+    canonical far offsets, all four component kernels (force x/y/z +
+    potential), and a soft/hl grid {0, 0.3, 1} -- hl scales out of the
+    operators entirely, soft/hl does not, and the per-level ratio is a
+    traced value, so one basis must span the whole family.  Including
+    T T^T closes the family under transpose (the mirror identity
+    T_d(-o) = -T_d(o)^T), so ONE basis serves both sides of
+    T ~ Q (Q^T T Q) Q^T.  Measured spectrum at m=8 (512 columns): the
+    normalized singular values cross 1e-6 at rank 106, so rank=128 (a
+    full lane) carries ~1e-6-class operator truncation -- below the
+    solver's ~1e-5 measured force-error floor.
+
+    This is the bbFMM SVD-compression recipe (Fong & Darve 2009)
+    adapted to a shared two-sided basis: per offset the (cap, m^3) @
+    (m^3, m^3) sweep matmuls become (cap, r) @ (r, r) with the
+    m^3-space projection hoisted out of the offset scan."""
+    m3 = m ** 3
+    t = _cheb_nodes(m).astype(np.float32)
+    pxv = np.repeat(t, m * m)
+    pyv = np.tile(np.repeat(t, m), m)
+    pzv = np.tile(t, m * m)
+    dP = np.stack([pv[None, :] - pv[:, None] for pv in (pxv, pyv, pzv)])
+    canon = _canon_far().astype(np.float32)                # (NO, 3)
+    gram = np.zeros((m3, m3), np.float64)
+    # chunk offsets: a full (NO, 4, m3, m3) stack is ~2.6 GB at m=8
+    step = max(1, (1 << 27) // (4 * m3 * m3))
+    for soh in (0.0, 0.3, 1.0):
+        for k0 in range(0, len(canon), step):
+            o = canon[k0:k0 + step]                        # (ko, 3)
+            D = 2.0 * o[:, :, None, None] + dP[None]       # (ko, 3, m3, m3)
+            inv = 1.0 / np.sqrt((D * D).sum(1) + soh * soh)
+            Ts = np.concatenate([D * (inv ** 3)[:, None],
+                                 inv[:, None]], 1)         # (ko, 4, m3, m3)
+            A = Ts.reshape(-1, m3)
+            gram += (A.T @ A).astype(np.float64)
+            B = Ts.swapaxes(2, 3).reshape(-1, m3)
+            gram += (B.T @ B).astype(np.float64)
+    _, vec = np.linalg.eigh(gram)
+    return np.ascontiguousarray(vec[:, ::-1][:, :rank])
+
+
+#: default compression rank: one full VPU lane row.  Gated off for
+#: orders whose m^3 is within 2x of it (no room to compress) and for
+#: levels whose occupied capacity is under 2*rank (the hoisted
+#: projection would cost more than it saves -- see m2l_sparse_level).
+_M2L_RANK = 128
+
+
+def default_m2l_rank(m: int) -> int:
+    return _M2L_RANK if m ** 3 > 2 * _M2L_RANK else 0
+
+
+def _resolve_rank(plan: "SparsePlan", cap: int) -> int:
+    """Effective compression rank for one level: plan.m2l_rank with -1
+    meaning the m-dependent default (kept auto through _plan_at's
+    validation-ladder m swaps), switched off below the cap crossover."""
+    rank = plan.m2l_rank
+    if rank < 0:
+        rank = default_m2l_rank(plan.m)
+    return rank if cap >= 2 * rank else 0
+
+
 def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
-                     with_phi: bool, m2l_dots: str = "fp32"):
+                     with_phi: bool, m2l_dots: str = "fp32",
+                     rank: int = 0):
     """Far sweep at one sparse level: a canonical-offset scan over
     compacted rows, both signs per step.
 
@@ -475,6 +545,16 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
     the cancellation-critical |o| = 2).  The engines' measured-error
     validation guards whichever tier is picked.
 
+    ``rank`` > 0 compresses the sweep onto the shared operator basis
+    (_m2l_basis): gather (cap, r) rows of w @ Q instead of (cap, m^3)
+    rows of w, project each in-scan transfer to C = Q^T T Q once per
+    offset (shared by the sign pair AND all cap rows), accumulate in
+    r-space, back-project @ Q^T once per field after the scan --
+    algebra: wp @ T^T ~ ((wp @ Q) @ C^T) @ Q^T and wn @ T ~
+    ((wn @ Q) @ C) @ Q^T, so the Q^T factors out of the whole scan.
+    Per-offset matmul work drops (m^3/r)^2-fold (16x at m=8, r=128)
+    and gather traffic m^3/r-fold.
+
     Returns nf fields of shape (cap, m^3)."""
     dtype = w.dtype
     cap = cells.shape[0]
@@ -484,6 +564,7 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
     canon = _canon_far()
     prec = (jax.lax.Precision.HIGH if m2l_dots == "bf16x3"
             else _PRECISION)
+    rank = rank if 0 < rank < m3 else 0
 
     spos_p, fnd_p = _neighbor_slots(cells, C, canon, _parity_codes(canon))
     spos_n, fnd_n = _neighbor_slots(cells, C, -canon,
@@ -496,7 +577,14 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
     soft2 = jnp.asarray(soft, dtype) ** 2
     o_rows = jnp.asarray(canon, dtype)                     # (NO, 3)
 
-    f0 = tuple(jnp.zeros((cap, m3), dtype) for _ in range(nf))
+    dot = functools.partial(jax.lax.dot_general, precision=prec,
+                            preferred_element_type=dtype)
+    if rank:
+        Qb = jnp.asarray(_m2l_basis(m, rank), dtype)       # (m3, r)
+        wg = dot(w, Qb, (((1,), (0,)), ((), ())))          # (cap+1, r)
+    else:
+        wg = w
+    f0 = tuple(jnp.zeros((cap, rank or m3), dtype) for _ in range(nf))
 
     def body(acc, args):
         slp, fp, sln, fn, o = args
@@ -508,45 +596,50 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
         Ts = [Dx * inv3, Dy * inv3, Dz * inv3]
         if nf == 4:
             Ts.append(inv)
-        wp = jnp.where(fp[:, None], w[jnp.minimum(slp, cap)], 0.0)
-        wn = jnp.where(fn[:, None], w[jnp.minimum(sln, cap)], 0.0)
+        if rank:
+            # hoisted projection: C = Q^T (T Q), one per field for both
+            # signs and every target row of this offset
+            Ts = [dot(Qb, dot(T, Qb, (((1,), (0,)), ((), ()))),
+                      (((0,), (0,)), ((), ()))) for T in Ts]
+        wp = jnp.where(fp[:, None], wg[jnp.minimum(slp, cap)], 0.0)
+        wn = jnp.where(fn[:, None], wg[jnp.minimum(sln, cap)], 0.0)
         out = []
         for i, a in enumerate(acc):
-            c_p = jax.lax.dot_general(
-                wp, Ts[i], (((1,), (1,)), ((), ())),
-                precision=prec, preferred_element_type=dtype,
-            )                                              # wp @ T^T
-            c_n = jax.lax.dot_general(
-                wn, Ts[i], (((1,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=dtype,
-            )                                              # wn @ T
+            c_p = dot(wp, Ts[i], (((1,), (1,)), ((), ())))  # wp @ T^T
+            c_n = dot(wn, Ts[i], (((1,), (0,)), ((), ())))  # wn @ T
             out.append(a + c_p + (c_n if i == 3 else -c_n))
         return tuple(out), None
 
     fields, _ = jax.lax.scan(
         body, f0, (spos_p, fnd_p, spos_n, fnd_n, o_rows))
+    if rank:
+        fields = tuple(dot(fi, Qb, (((1,), (1,)), ((), ())))
+                       for fi in fields)
     return fields
 
 
 # ----------------------------------------------------------- full solver
-def adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan: SparsePlan,
-                   with_phi: bool, m2l_dots: str = "fp32"):
-    """Far fields of every body via dense levels 2..Ld + sparse levels
-    Ld+1..L (finest near-27 excluded for the P2P stage).
+def hierarchy_fields(w_fin, cells_fin, c, h, soft, plan: SparsePlan,
+                     with_phi: bool, m2l_dots: str = "fp32"):
+    """Finest-level local fields from the finest-level occupied
+    multipoles: the distribution-independent middle of the adaptive
+    solve (parent occupied chain, M2M upward, dense base, downward
+    L2L + M2L).  Split out of adaptive_field so the sharded engine can
+    psum ONE finest (cap + 1, m^3) tensor and run this chain
+    redundantly per shard (parallel/shard_adaptive.py) -- the same
+    skeleton as shard+fmm's redundant tiny sweeps.
 
-    Inputs are MORTON-SORTED (``key_s`` = sorted finest-level codes,
-    _BIG for inactive rows -- the one shared sort of solve_adaptive);
-    outputs are per-body values in the SAME sorted order.  Returns
-    (per-body field tuple, diagnostics dict of traced counts)."""
+    ``w_fin`` = (cap + 1, m^3) finest sparse expansions (dump row
+    last), ``cells_fin`` = the (cap,) sorted occupied Morton codes.
+    Returns (fields tuple of nf (cap + 1, m^3) tables with a ZERO dump
+    row, diag)."""
     m = plan.m
     Ld, L = plan.dense_levels, plan.levels
-    Cfin = 2 ** L
 
-    # occupied lists finest -> coarsest sparse level, O(n) off the sorted
-    # keys (Morton codes: the parent chain is a 3-bit shift, which keeps
-    # each level's list sorted)
-    cells = {}
-    cells[L], slots = _occupied_and_slots(key_s, plan.cell_caps[-1])
+    # occupied lists finest -> coarsest sparse level (Morton codes: the
+    # parent chain is a 3-bit shift, which keeps each level's list
+    # sorted)
+    cells = {L: cells_fin}
     for l in range(L - 1, Ld, -1):
         ids = jnp.where(cells[l + 1] == _BIG, _BIG, cells[l + 1] >> 3)
         cells[l], _ = _occupied_and_slots(ids, plan.cell_caps[l - Ld - 1])
@@ -554,9 +647,8 @@ def adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan: SparsePlan,
     diag = {"n_cells": tuple(jnp.sum(cells[l] != _BIG)
                              for l in range(Ld + 1, L + 1))}
 
-    # upward: windowed P2M + M2M chain, densify at Ld
-    w = {L: p2m_window(xs, ys, zs, gs, c, h, slots, plan.cell_caps[-1],
-                       m=m, C=Cfin)}
+    # upward: M2M chain, densify at Ld
+    w = {L: w_fin}
     for l in range(L - 1, Ld, -1):
         w[l] = m2m_sparse(w[l + 1], cells[l + 1], cells[l], m=m,
                           C_child=2 ** (l + 1))
@@ -592,7 +684,8 @@ def adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan: SparsePlan,
                                  C_child=C)
                       for fi in f)
         contrib = m2l_sparse_level(w[l], cells[l], hl, soft, m=m, C=C,
-                                   with_phi=with_phi, m2l_dots=m2l_dots)
+                                   with_phi=with_phi, m2l_dots=m2l_dots,
+                                   rank=_resolve_rank(plan, cap))
         # combine: L2L gave (cap + 1, m3), M2L gave (cap, m3); keep the
         # ZERO dump row (the next L2L / the final L2P read it for
         # missing slots)
@@ -601,7 +694,25 @@ def adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan: SparsePlan,
             jnp.concatenate([fi[:cap] + ci, zero], 0)
             for fi, ci in zip(f, contrib)
         )
+    return f, diag
 
+
+def adaptive_field(xs, ys, zs, gs, key_s, c, h, soft, plan: SparsePlan,
+                   with_phi: bool, m2l_dots: str = "fp32"):
+    """Far fields of every body via dense levels 2..Ld + sparse levels
+    Ld+1..L (finest near-27 excluded for the P2P stage).
+
+    Inputs are MORTON-SORTED (``key_s`` = sorted finest-level codes,
+    _BIG for inactive rows -- the one shared sort of solve_adaptive);
+    outputs are per-body values in the SAME sorted order.  Returns
+    (per-body field tuple, diagnostics dict of traced counts)."""
+    m = plan.m
+    Cfin = 2 ** plan.levels
+    cap = plan.cell_caps[-1]
+    cells_fin, slots = _occupied_and_slots(key_s, cap)
+    w_fin = p2m_window(xs, ys, zs, gs, c, h, slots, cap, m=m, C=Cfin)
+    f, diag = hierarchy_fields(w_fin, cells_fin, c, h, soft, plan,
+                               with_phi, m2l_dots)
     vals = l2p_window(xs, ys, zs, c, h, slots, f, m=m, C=Cfin)
     return vals, diag
 
@@ -760,7 +871,8 @@ def level_stats(q: np.ndarray, dense_levels: int, levels: int):
 def plan_adaptive(q: np.ndarray, npad: int, m: int, dense_levels: int,
                   levels: int, *, cell_margin: float = 1.3,
                   p2p_margin: float = 1.5,
-                  p2p_impl: str | None = None) -> SparsePlan:
+                  p2p_impl: str | None = None,
+                  m2l_rank: int = -1) -> SparsePlan:
     """Build a SparsePlan for the current distribution at the given
     geometry (margined static capacities; proxy_health re-checks them
     as the system evolves, maybe_adapt re-plans on overflow).
@@ -781,7 +893,7 @@ def plan_adaptive(q: np.ndarray, npad: int, m: int, dense_levels: int,
         pmax = size_pmax(est, margin=p2p_margin)
     return SparsePlan(m=m, dense_levels=dense_levels, levels=levels,
                       cell_caps=cell_caps, p2p_pmax=pmax,
-                      p2p_impl=p2p_impl)
+                      p2p_impl=p2p_impl, m2l_rank=m2l_rank)
 
 
 def p2p_capacity_needed(n_pairs: int, npad: int, plan: SparsePlan) -> int:
@@ -814,13 +926,22 @@ def _p2p_rate() -> float:
 
 
 def _cost_from_stats(stats, n_bricks, npad, m, dense_levels, levels,
-                     nf: int = 3) -> float:
+                     nf: int = 3, m2l_rank: int = -1) -> float:
     NO = len(_far_offsets()[0])
+    rank = default_m2l_rank(m) if m2l_rank < 0 else m2l_rank
+    m3 = m ** 3
     m2l = 0.0
     for nc in stats:
         rows = NO * nc
-        m2l += rows * m ** 6 * nf / _MAC_PER_MS
-        m2l += rows * m ** 3 * 4 / _GATHER_BYTES_PER_MS
+        cap = int(nc * 1.3) + 9              # plan_adaptive's cap sizing
+        r = rank if (rank and cap >= 2 * rank) else 0
+        if r:
+            # r-space sweep + the hoisted per-offset basis projection
+            per_field = rows * r * r + NO * (m3 * m3 * r + m3 * r * r)
+        else:
+            per_field = rows * m3 * m3
+        m2l += per_field * nf / _MAC_PER_MS
+        m2l += rows * (r or m3) * 4 / _GATHER_BYTES_PER_MS
     m2l += 686 * 8 ** dense_levels * m ** 6 * nf / _MAC_PER_MS  # dense base
     p2p = n_bricks * DEFAULT_K ** 2 * 26 / _p2p_rate()
     anterp = npad * _ANTERP_US_PER_BODY / 1e3
@@ -834,7 +955,7 @@ def _cost_from_stats(stats, n_bricks, npad, m, dense_levels, levels,
 
 
 def plan_cost_ms(q: np.ndarray, npad: int, m: int, dense_levels: int,
-                 levels: int, nf: int = 3) -> float:
+                 levels: int, nf: int = 3, m2l_rank: int = -1) -> float:
     """Estimated adaptive step cost in MILLISECONDS on a v5e, from the
     measured stage rates above -- honest enough that the engine policy
     only picks the adaptive solver where it actually beats the exact
@@ -842,7 +963,7 @@ def plan_cost_ms(q: np.ndarray, npad: int, m: int, dense_levels: int,
     wins; clustered boxes at larger N flip it)."""
     return _cost_from_stats(level_stats(q, dense_levels, levels),
                             estimate_brick_pairs(q, npad, levels),
-                            npad, m, dense_levels, levels, nf)
+                            npad, m, dense_levels, levels, nf, m2l_rank)
 
 
 def exact_cost_ms(npad: int) -> float:
@@ -871,7 +992,8 @@ def adaptive_order(tol: float = 1e-4) -> int:
 
 
 def best_adaptive_plan(q: np.ndarray, npad: int, m: int,
-                       max_levels: int = 9) -> tuple[SparsePlan, float]:
+                       max_levels: int = 9,
+                       m2l_rank: int = -1) -> tuple[SparsePlan, float]:
     """(plan, est_ms): the cheapest (dense_levels, levels) combo for the
     current distribution.  Dense levels stay shallow (the 8^Ld M2L
     term); the finest level trades P2P pairs against sparse M2L rows.
@@ -888,8 +1010,9 @@ def best_adaptive_plan(q: np.ndarray, npad: int, m: int,
     for Ld in (2, 3):
         for L in range(Ld + 1, max_levels + 1):
             stats = [nc_at[l] for l in range(Ld + 1, L + 1)]
-            cost = _cost_from_stats(stats, bricks_at[L], npad, m, Ld, L)
+            cost = _cost_from_stats(stats, bricks_at[L], npad, m, Ld, L,
+                                    m2l_rank=m2l_rank)
             if best is None or cost < best[0]:
                 best = (cost, Ld, L)
     cost, Ld, L = best
-    return plan_adaptive(q, npad, m, Ld, L), cost
+    return plan_adaptive(q, npad, m, Ld, L, m2l_rank=m2l_rank), cost

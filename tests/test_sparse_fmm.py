@@ -104,6 +104,48 @@ def test_adaptive_heavy_split():
     assert _max_rel_err(a, ref, gm) <= 1e-4
 
 
+def test_m2l_rank_compression_accuracy():
+    """The shared-basis compressed far sweep (m2l_rank > 0) stays inside
+    the solver's 1e-4 error contract and matches the uncompressed sweep
+    to the operator-truncation level (_m2l_basis docstring: ~1e-6-class
+    at rank 128) -- force AND potential fields."""
+    (qx, qy, qz, gm), q = _two_clusters(n=2000, npad=2048)
+    soft = 0.01
+    full = plan_adaptive(q, 2048, 6, 2, 5, m2l_rank=0)
+    comp = plan_adaptive(q, 2048, 6, 2, 5, m2l_rank=128)
+    assert full.m2l_rank == 0 and comp.m2l_rank == 128
+    ref = acc_naive(qx, qy, qz, gm, soft)
+    a_f, phi_f = force_and_potential_adaptive(qx, qy, qz, gm, soft, full)
+    a_c, phi_c = force_and_potential_adaptive(qx, qy, qz, gm, soft, comp)
+    assert _max_rel_err(a_c, ref, gm) <= 1e-4
+    # compressed-vs-full: truncation only (well under the solver error)
+    sel = np.asarray(gm) > 0
+    for d in ("ax", "ay", "az"):
+        fn = np.asarray(getattr(a_f, d))[sel]
+        cn = np.asarray(getattr(a_c, d))[sel]
+        scale = np.abs(fn).max()
+        assert np.abs(fn - cn).max() <= 2e-4 * scale
+    np.testing.assert_allclose(np.asarray(phi_c)[sel],
+                               np.asarray(phi_f)[sel], rtol=2e-4)
+
+
+def test_m2l_rank_default_gating():
+    """-1 resolves to the m-dependent default: ON for m=8 (512 >= 2*128),
+    OFF for m<=6 (no room to compress); levels under the cap crossover
+    fall back to the uncompressed sweep (via _resolve_rank)."""
+    from murb_tpu.ops.sparse_fmm import (_resolve_rank, default_m2l_rank)
+
+    assert default_m2l_rank(8) == 128
+    assert default_m2l_rank(6) == 0
+    plan = SparsePlan(m=8, dense_levels=2, levels=4, cell_caps=(64,),
+                      p2p_pmax=64)
+    assert plan.m2l_rank == -1
+    assert _resolve_rank(plan, 4096) == 128
+    assert _resolve_rank(plan, 200) == 0          # cap < 2*rank
+    assert _resolve_rank(plan._replace(m2l_rank=0), 4096) == 0
+    assert _resolve_rank(plan._replace(m2l_rank=64), 4096) == 64
+
+
 def test_best_plan_is_argmin_of_cost_model():
     """best_adaptive_plan returns the cheapest geometry its cost model
     sees.  (Which depth wins is distribution- and N-dependent: POINT-like
