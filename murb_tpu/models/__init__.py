@@ -173,6 +173,7 @@ def _build_registry():
     register("shard+uneven", _shard("uneven"), aliases=("hetero",))
     register("shard+proxy", _shard("proxy"))
     register("shard+fmm", _shard("fmm"))
+    register("shard+adaptive", _shard("adaptive"))
 
 
 _build_registry()

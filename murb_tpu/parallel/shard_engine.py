@@ -40,6 +40,16 @@ TPU-native rebuild of the reference's MPI engine
     O(N)-comm ring.  ``shard+proxy`` auto-promotes to this mode when the
     box demands it (mirroring the single-chip ProxyEngine's auto policy).
 
+  * ``adaptive`` -- the clustered-wide-box multi-chip path: the
+    occupied-cell sparse hierarchy (ops/sparse_fmm.py) over
+    Morton-contiguous shards with sub-O(N) communication -- one psum of
+    the finest sparse multipoles for the far field, one surface-scaled
+    all_gather halo pool for the exact P2P near field, psum'd exact rows
+    for stray targets (parallel/shard_adaptive.py has the full design
+    note).  Fills the cell the exact ring covers with O(N) comm: 10M+
+    two-cluster boxes that need both multi-chip memory AND the adaptive
+    solver.
+
   * ``uneven`` -- capability parity with the hetero engine's fraction knob
     (env MURB_HETERO_GPU_FRACTION, ref: SimulationNBodyHetero.cu:16-18,
     222-227): shard 0 computes a tunable fraction of the i-rows, the rest
@@ -141,6 +151,8 @@ class ShardedEngine(SimulationEngine):
         self.m2l_dots = m2l_dots
         self.validated_err: float | None = None
         self.validated_half: float | None = None
+        self.adaptive_plan = None
+        self._inv_perm = None
         if mode in ("proxy", "fmm"):
             # Pick the solver geometry from the initial box, same policy
             # ladder as the single-chip ProxyEngine: a single global
@@ -233,6 +245,61 @@ class ShardedEngine(SimulationEngine):
 
         # Every shard must hold a lane-aligned block: pad to 256 * shards.
         bodies = bodies.repad(256 * self.n_shards)
+
+        if mode == "adaptive":
+            # Plan the Morton-sharded adaptive solve from the initial
+            # distribution (capacities + residence ranges), validate the
+            # order with the same measured ladder as the single-chip
+            # adaptive path (cli.py), and permute the body arrays into
+            # Morton residence order.  ``bodies`` (the property) undoes
+            # the permutation at observation points so per-body identity
+            # is preserved for history/CSV/checkpoints.
+            import dataclasses
+
+            import numpy as np
+
+            from murb_tpu import DEFAULT_SOFTENING
+            from murb_tpu.ops.sparse_fmm import (
+                acc_adaptive,
+                adaptive_order,
+                best_adaptive_plan,
+            )
+            from murb_tpu.parallel.shard_adaptive import plan_shard_adaptive
+
+            soft_val = kwargs.get("soft", DEFAULT_SOFTENING)
+            u = bodies.unpadded()
+            act = np.asarray(u["m"]) > 0
+            qh = np.stack([u["qx"], u["qy"], u["qz"]], 1).astype(np.float32)
+            m_pick = int(m) if m else adaptive_order(1e-4)
+            Ld_pick, L_pick = (2, int(levels)) if levels else (0, 0)
+            if validate and not m:
+                from murb_tpu.ops.validate import measured_force_error
+
+                plan1, _ = best_adaptive_plan(qh[act], bodies.npad, m_pick)
+                gmv = jnp.asarray(G, bodies.qx.dtype) * bodies.m
+                while True:
+                    merr = measured_force_error(
+                        bodies.qx, bodies.qy, bodies.qz, gmv, soft_val,
+                        lambda a, b, c, g: acc_adaptive(
+                            a, b, c, g, soft_val, plan1))
+                    if merr <= 1e-4 or plan1.m + 2 > 12:
+                        break
+                    plan1 = plan1._replace(m=plan1.m + 2)
+                self.validated_err = float(merr)
+                m_pick = plan1.m
+                Ld_pick, L_pick = plan1.dense_levels, plan1.levels
+            self.adaptive_plan, perm = plan_shard_adaptive(
+                qh, bodies.npad, self.n_shards, m_pick, Ld_pick, L_pick,
+                active=act, m2l_rank=kw.pop("m2l_rank", -1))
+            bodies = dataclasses.replace(
+                bodies, **{k: getattr(bodies, k)[np.asarray(perm)]
+                           for k in ("m", "r", "qx", "qy", "qz",
+                                     "vx", "vy", "vz")})
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            self._inv_perm = inv
+            self.proxy_heavy_k = 1
+
         super().__init__(bodies, **kwargs, **kw)
         self.tag = f"shard+{mode}"
 
@@ -241,11 +308,45 @@ class ShardedEngine(SimulationEngine):
         else:
             self._state = shard_state(self._state, self.mesh)
 
+    @property
+    def bodies(self) -> BodyState:
+        """Observation view.  shard+adaptive permutes body order at build
+        (Morton residence); undo it here so history/CSV/checkpoints keep
+        per-body identity.  Observation-only (never the hot path)."""
+        state = self._state
+        if self._inv_perm is not None:
+            import dataclasses
+
+            inv = jnp.asarray(self._inv_perm)
+            state = dataclasses.replace(
+                state, **{k: getattr(state, k)[inv]
+                          for k in ("m", "r", "qx", "qy", "qz",
+                                    "vx", "vy", "vz")})
+        return state
+
     def proxy_health(self) -> dict | None:
         """Validity check for the far-field modes (same contract as
         ProxyEngine.proxy_health, incl. the measured certification when
         the ctor validated the pick); None for the exact modes.  The CLI
         surfaces a not-ok post-run (build_engine's duck-typed hook)."""
+        if self.mode == "adaptive":
+            from murb_tpu.parallel.shard_adaptive import (
+                health_check,
+                make_health_fn,
+            )
+
+            fn = self._run_cache.get("health")
+            if fn is None:
+                counts = make_health_fn(self.adaptive_plan,
+                                        axis_name=SHARD_AXIS)
+                fn = jax.jit(_shard_map(
+                    counts, mesh=self.mesh,
+                    in_specs=P(SHARD_AXIS), out_specs=P()))
+                self._run_cache["health"] = fn
+            out = health_check(self.adaptive_plan, fn(self._state))
+            if self.validated_err is not None:
+                out["validated_err"] = self.validated_err
+            return out
         if self.mode not in ("proxy", "fmm"):
             return None
         from murb_tpu.ops.fmm import fmm_order
@@ -285,6 +386,13 @@ class ShardedEngine(SimulationEngine):
             return self._far_local_step(self._proxy_far_solver())
         if self.mode == "fmm":
             return self._far_local_step(self._fmm_far_solver())
+        if self.mode == "adaptive":
+            from murb_tpu.parallel.shard_adaptive import make_local_step
+
+            return make_local_step(
+                self.adaptive_plan, self.soft, self._dt,
+                axis_name=SHARD_AXIS, heavy_k=self.proxy_heavy_k,
+                m2l_dots=self.m2l_dots)
         raise ValueError(f"unknown shard mode {self.mode!r}")
 
     def _make_step(self):
