@@ -141,13 +141,27 @@ def build_engine(cfg: MurbConfig):
         adaptive_plan, _est = best_adaptive_plan(
             qh, bodies.npad, adaptive_order(cfg.tol))
         gmv = _jnp.asarray(_G, bodies.qx.dtype) * bodies.m
+        from murb_tpu.ops.sparse_fmm import default_m2l_rank
+
         merr = None
+        tried_rank0 = False
         while True:
             merr = measured_force_error(
                 bodies.qx, bodies.qy, bodies.qz, gmv, cfg.softening,
                 lambda a, b, c, g: acc_adaptive(a, b, c, g, cfg.softening,
                                                 adaptive_plan))
-            if merr <= cfg.tol or adaptive_plan.m + 2 > 12:
+            if merr <= cfg.tol:
+                break
+            # M2L compression truncation does not shrink with m: drop
+            # it before burning escalation rungs (engines ladder rule)
+            eff = adaptive_plan.m2l_rank
+            if eff < 0:
+                eff = default_m2l_rank(adaptive_plan.m)
+            if eff > 0 and not tried_rank0:
+                tried_rank0 = True
+                adaptive_plan = adaptive_plan._replace(m2l_rank=0)
+                continue
+            if adaptive_plan.m + 2 > 12:
                 break
             adaptive_plan = adaptive_plan._replace(m=adaptive_plan.m + 2)
         if merr > cfg.tol:

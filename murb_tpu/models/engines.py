@@ -486,10 +486,14 @@ class ProxyEngine(EulerAccelEngine):
         self.m, self.levels, self.cells = plan.m, plan.levels, 1
         self.using_proxy = True
 
-    def _plan_at(self, m: int):
+    def _plan_at(self, m: int, rank: int | None = None):
         """The current plan re-ordered (geometry/capacities are
-        m-independent, so validation rungs reuse them)."""
-        return self._plan._replace(m=int(m))
+        m-independent, so validation rungs reuse them); ``rank``
+        optionally overrides the M2L compression rank."""
+        plan = self._plan._replace(m=int(m))
+        if rank is not None:
+            plan = plan._replace(m2l_rank=rank)
+        return plan
 
     def _validate_adaptive(self) -> None:
         """Measured-order selection for the adaptive solver: the far
@@ -503,8 +507,8 @@ class ProxyEngine(EulerAccelEngine):
         st = self._state
         gm = self._gm(st)
 
-        def err_at(m):
-            plan = self._plan_at(m)
+        def err_at(m, rank=None):
+            plan = self._plan_at(m, rank)
 
             def acc(qx, qy, qz, g):
                 return acc_adaptive(qx, qy, qz, g, self.soft, plan,
@@ -523,6 +527,22 @@ class ProxyEngine(EulerAccelEngine):
                     break
                 m, err = m - 2, derr
         else:
+            # M2L compression truncation does NOT shrink with m (the
+            # shared-basis rank is per-m): when the first rung misses
+            # tol with compression active, drop compression BEFORE
+            # escalating m -- otherwise the ladder burns rungs on an
+            # error floor m cannot fix (measured round 4: rank-128 at
+            # m=12 floored at 1.9e-4).
+            from murb_tpu.ops.sparse_fmm import default_m2l_rank
+
+            eff = self._plan.m2l_rank
+            if eff < 0:
+                eff = default_m2l_rank(m)
+            if eff > 0:
+                err0 = err_at(m, rank=0)
+                if err0 < err:
+                    self._plan = self._plan._replace(m2l_rank=0)
+                    err = err0
             while err > self.tol and m + 2 <= 12:
                 m += 2
                 err = err_at(m)

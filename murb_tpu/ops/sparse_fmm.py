@@ -466,10 +466,14 @@ def _m2l_basis(m: int, rank: int) -> np.ndarray:
     traced value, so one basis must span the whole family.  Including
     T T^T closes the family under transpose (the mirror identity
     T_d(-o) = -T_d(o)^T), so ONE basis serves both sides of
-    T ~ Q (Q^T T Q) Q^T.  Measured spectrum at m=8 (512 columns): the
-    normalized singular values cross 1e-6 at rank 106, so rank=128 (a
-    full lane) carries ~1e-6-class operator truncation -- below the
-    solver's ~1e-5 measured force-error floor.
+    T ~ Q (Q^T T Q) Q^T.  Measured spectra (normalized singular values
+    of the family Gram): the 1e-5 crossing sits at rank 280 (m=8), 513
+    (m=10), 810 (m=12) -- roughly m^3/2, NOT a fixed lane count; and
+    measured force error tracks ~2x the sv at the truncation rank
+    (m=12 rank 128: sv ~1e-4, measured force err 1.9e-4 on the 1M
+    two-cluster).  _M2L_RANKS rounds the crossings up to full
+    128-lane multiples for ~2e-5-class force truncation, safely under
+    the default 1e-4 tol on top of the solver's ~1e-5 floor.
 
     This is the bbFMM SVD-compression recipe (Fong & Darve 2009)
     adapted to a shared two-sided basis: per offset the (cap, m^3) @
@@ -500,15 +504,18 @@ def _m2l_basis(m: int, rank: int) -> np.ndarray:
     return np.ascontiguousarray(vec[:, ::-1][:, :rank])
 
 
-#: default compression rank: one full VPU lane row.  Gated off for
-#: orders whose m^3 is within 2x of it (no room to compress) and for
-#: levels whose occupied capacity is under 2*rank (the hoisted
-#: projection would cost more than it saves -- see m2l_sparse_level).
-_M2L_RANK = 128
+#: default compression ranks: the measured 1e-5 singular-value
+#: crossings of the far-transfer family (see _m2l_basis), rounded up to
+#: 128-lane multiples.  Orders below m=8 have no room to compress
+#: (m^3 <= 216 vs the ~m^3/2 crossing).  Per-level engagement is gated
+#: by _resolve_rank at cap >= 2*rank: the per-offset projection costs
+#: (m^6 r + m^3 r^2) MACs against a per-row saving of 2 cap (m^6 - r^2),
+#: which breaks even almost exactly at cap = 2 rank for these ranks.
+_M2L_RANKS = {8: 384, 10: 640, 12: 896}
 
 
 def default_m2l_rank(m: int) -> int:
-    return _M2L_RANK if m ** 3 > 2 * _M2L_RANK else 0
+    return _M2L_RANKS.get(m, 0)
 
 
 def _resolve_rank(plan: "SparsePlan", cap: int) -> int:

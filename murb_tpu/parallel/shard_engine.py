@@ -177,16 +177,30 @@ class ShardedEngine(SimulationEngine):
                     self.proxy_m = m if m else m_auto
                     self.proxy_heavy_k = 1
             if mode == "fmm":
-                from murb_tpu.ops.fmm import best_depth
+                from murb_tpu.ops.fmm import (
+                    best_depth,
+                    fmm_order,
+                    required_levels,
+                )
 
                 if m and levels:
                     self.fmm_m, self.fmm_levels = int(m), int(levels)
                 else:
-                    self.fmm_m, self.fmm_levels = best_depth(
-                        bodies.npad, half, soft_val
-                    )
-                self.proxy_heavy_k = 1
-            if validate and not m:
+                    # Same policy rung as the single-chip CLI ladder
+                    # (cli.py kernel='fmm' -> 'adaptive'): when the
+                    # box/softening ratio puts the dense hierarchy's
+                    # required order past 16, no dense config meets tol
+                    # -- promote to the occupied-cell adaptive mode.
+                    lv_req = required_levels(half, soft_val)
+                    if fmm_order(half, soft_val, lv_req, 1e-4) > 16:
+                        mode = "adaptive"
+                    else:
+                        self.fmm_m, self.fmm_levels = best_depth(
+                            bodies.npad, half, soft_val
+                        )
+                if mode == "fmm":
+                    self.proxy_heavy_k = 1
+            if mode != "adaptive" and validate and not m:
                 # Measured-order selection (ops/validate), same contract
                 # as the single-chip ProxyEngine: the static pick's error
                 # prefactor is distribution-dependent, so measure the
@@ -272,25 +286,40 @@ class ShardedEngine(SimulationEngine):
             qh = np.stack([u["qx"], u["qy"], u["qz"]], 1).astype(np.float32)
             m_pick = int(m) if m else adaptive_order(1e-4)
             Ld_pick, L_pick = (2, int(levels)) if levels else (0, 0)
+            rank_pick = -1
             if validate and not m:
+                from murb_tpu.ops.sparse_fmm import default_m2l_rank
                 from murb_tpu.ops.validate import measured_force_error
 
                 plan1, _ = best_adaptive_plan(qh[act], bodies.npad, m_pick)
                 gmv = jnp.asarray(G, bodies.qx.dtype) * bodies.m
+                tried_rank0 = False
                 while True:
                     merr = measured_force_error(
                         bodies.qx, bodies.qy, bodies.qz, gmv, soft_val,
                         lambda a, b, c, g: acc_adaptive(
                             a, b, c, g, soft_val, plan1))
-                    if merr <= 1e-4 or plan1.m + 2 > 12:
+                    if merr <= 1e-4:
+                        break
+                    # drop M2L compression before escalating m (its
+                    # truncation is per-m constant; engines ladder rule)
+                    eff = plan1.m2l_rank
+                    if eff < 0:
+                        eff = default_m2l_rank(plan1.m)
+                    if eff > 0 and not tried_rank0:
+                        tried_rank0 = True
+                        plan1 = plan1._replace(m2l_rank=0)
+                        continue
+                    if plan1.m + 2 > 12:
                         break
                     plan1 = plan1._replace(m=plan1.m + 2)
                 self.validated_err = float(merr)
                 m_pick = plan1.m
                 Ld_pick, L_pick = plan1.dense_levels, plan1.levels
+                rank_pick = plan1.m2l_rank
             self.adaptive_plan, perm = plan_shard_adaptive(
                 qh, bodies.npad, self.n_shards, m_pick, Ld_pick, L_pick,
-                active=act, m2l_rank=kw.pop("m2l_rank", -1))
+                active=act, m2l_rank=kw.pop("m2l_rank", rank_pick))
             bodies = dataclasses.replace(
                 bodies, **{k: getattr(bodies, k)[np.asarray(perm)]
                            for k in ("m", "r", "qx", "qy", "qz",

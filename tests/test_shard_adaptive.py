@@ -64,11 +64,14 @@ def test_shard_adaptive_matches_oracle_two_cluster(n_devices):
 
 def test_shard_adaptive_matches_oracle_galaxy(n_devices):
     """Compact distributions must stay correct too (the planner picks a
-    shallow geometry; the P2P near field carries most of the answer)."""
-    bodies = SCHEMES["galaxy"](1000, 123)
+    shallow geometry; the P2P near field carries most of the answer).
+    Small n + explicit geometry: the compact galaxy otherwise plans a
+    fat near field whose CPU-mesh compile dominated the whole suite
+    (92 s measured)."""
+    bodies = SCHEMES["galaxy"](512, 123)
     ref = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT)
     tgt = create_engine("shard+adaptive", bodies, soft=SOFT, dt=DT,
-                        shards=n_devices)
+                        shards=n_devices, m=6, levels=4)
     for i in range(2):
         ref.compute_one_iteration()
         tgt.compute_one_iteration()
@@ -77,10 +80,26 @@ def test_shard_adaptive_matches_oracle_galaxy(n_devices):
         assert_within_rel(b[c], a[c], 2e-3, f"galaxy {c}", rms_floor=1e-6)
 
 
-def test_shard_adaptive_preserves_body_identity(n_devices):
-    """The engine Morton-permutes residence internally; the observation
-    surface (bodies property -> unpadded()) must return the ORIGINAL
-    body order (per-body trajectories / CSV / checkpoints)."""
+def test_shard_fmm_promotes_clustered_wide_box_to_adaptive(n_devices):
+    """shard+fmm auto-promotes to the adaptive mode when the dense
+    hierarchy cannot meet tol on the box (required order > 16) -- the
+    same policy rung as the single-chip CLI ladder (cli.py)."""
+    bodies = _two_cluster_state(n=1000, seed=9)
+    tgt = create_engine("shard+fmm", bodies, soft=SOFT, dt=DT,
+                        shards=n_devices)
+    assert tgt.mode == "adaptive"
+    assert tgt.tag == "shard+adaptive"
+    assert tgt.adaptive_plan is not None
+
+
+def test_shard_adaptive_identity_and_health(n_devices):
+    """One engine, two contracts (shared build: the shard_map compile
+    dominates this suite's wall time).  (a) The engine Morton-permutes
+    residence internally; the observation surface (bodies property ->
+    unpadded()) must return the ORIGINAL body order (per-body
+    trajectories / CSV / checkpoints).  (b) proxy_health reports the
+    planned capacities as healthy at build and carries the measured
+    validation error."""
     bodies = _two_cluster_state(n=2000, seed=3)
     m0 = np.asarray(bodies.m[:bodies.n]).copy()
     tgt = create_engine("shard+adaptive", bodies, soft=SOFT, dt=DT,
@@ -90,14 +109,6 @@ def test_shard_adaptive_preserves_body_identity(n_devices):
     tgt.compute_one_iteration()
     np.testing.assert_array_equal(np.asarray(tgt.bodies.unpadded()["m"]),
                                   m0)
-
-
-def test_shard_adaptive_health(n_devices):
-    """proxy_health reports the planned capacities as healthy at build
-    and carries the measured validation error."""
-    bodies = _two_cluster_state(n=2000, seed=5)
-    tgt = create_engine("shard+adaptive", bodies, soft=SOFT, dt=DT,
-                        shards=n_devices)
     h = tgt.proxy_health()
     assert h["using_adaptive"] and h["ok"]
     assert h["strays"] <= h["stray_cap"]

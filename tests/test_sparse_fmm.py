@@ -130,18 +130,21 @@ def test_m2l_rank_compression_accuracy():
 
 
 def test_m2l_rank_default_gating():
-    """-1 resolves to the m-dependent default: ON for m=8 (512 >= 2*128),
-    OFF for m<=6 (no room to compress); levels under the cap crossover
-    fall back to the uncompressed sweep (via _resolve_rank)."""
+    """-1 resolves to the measured per-m default ranks (the 1e-5
+    singular-value crossings, 128-lane rounded -- _m2l_basis docstring);
+    m <= 6 has no room to compress; levels under the cap crossover fall
+    back to the uncompressed sweep (via _resolve_rank)."""
     from murb_tpu.ops.sparse_fmm import (_resolve_rank, default_m2l_rank)
 
-    assert default_m2l_rank(8) == 128
+    assert default_m2l_rank(8) == 384
+    assert default_m2l_rank(10) == 640
+    assert default_m2l_rank(12) == 896
     assert default_m2l_rank(6) == 0
     plan = SparsePlan(m=8, dense_levels=2, levels=4, cell_caps=(64,),
                       p2p_pmax=64)
     assert plan.m2l_rank == -1
-    assert _resolve_rank(plan, 4096) == 128
-    assert _resolve_rank(plan, 200) == 0          # cap < 2*rank
+    assert _resolve_rank(plan, 4096) == 384
+    assert _resolve_rank(plan, 500) == 0          # cap < 2*rank
     assert _resolve_rank(plan._replace(m2l_rank=0), 4096) == 0
     assert _resolve_rank(plan._replace(m2l_rank=64), 4096) == 64
 
