@@ -471,9 +471,10 @@ def _m2l_basis(m: int, rank: int) -> np.ndarray:
     (m=10), 810 (m=12) -- roughly m^3/2, NOT a fixed lane count; and
     measured force error tracks ~2x the sv at the truncation rank
     (m=12 rank 128: sv ~1e-4, measured force err 1.9e-4 on the 1M
-    two-cluster).  _M2L_RANKS rounds the crossings up to full
-    128-lane multiples for ~2e-5-class force truncation, safely under
-    the default 1e-4 tol on top of the solver's ~1e-5 floor.
+    two-cluster).  _M2L_RANKS rounds the crossings up to full 128-lane
+    multiples; even those accumulate to ~1e-4-class force error at
+    flagship scale, which is why compression is an explicit tier, not
+    the default (default_m2l_rank docstring has the measured ladder).
 
     This is the bbFMM SVD-compression recipe (Fong & Darve 2009)
     adapted to a shared two-sided basis: per offset the (cap, m^3) @
@@ -504,18 +505,31 @@ def _m2l_basis(m: int, rank: int) -> np.ndarray:
     return np.ascontiguousarray(vec[:, ::-1][:, :rank])
 
 
-#: default compression ranks: the measured 1e-5 singular-value
-#: crossings of the far-transfer family (see _m2l_basis), rounded up to
-#: 128-lane multiples.  Orders below m=8 have no room to compress
-#: (m^3 <= 216 vs the ~m^3/2 crossing).  Per-level engagement is gated
-#: by _resolve_rank at cap >= 2*rank: the per-offset projection costs
-#: (m^6 r + m^3 r^2) MACs against a per-row saving of 2 cap (m^6 - r^2),
-#: which breaks even almost exactly at cap = 2 rank for these ranks.
+#: recommended EXPLICIT compression ranks: the measured 1e-5
+#: singular-value crossings of the far-transfer family (see _m2l_basis),
+#: rounded up to 128-lane multiples.  Orders below m=8 have no room to
+#: compress (m^3 <= 216 vs the ~m^3/2 crossing).  Per-level engagement
+#: is gated by _resolve_rank at cap >= 2*rank: the per-offset projection
+#: costs (m^6 r + m^3 r^2) MACs against a per-row saving of
+#: 2 cap (m^6 - r^2), which breaks even almost exactly at cap = 2 rank.
 _M2L_RANKS = {8: 384, 10: 640, 12: 896}
 
 
 def default_m2l_rank(m: int) -> int:
-    return _M2L_RANKS.get(m, 0)
+    """DEFAULT: compression OFF for every order.  Measured round 4: the
+    per-offset truncation residuals accumulate coherently across the
+    offset scan and the engaged levels -- m=8 rank 384 (past the
+    spectrum cliff at ~281) measures 6.9e-6 force error on a 30k
+    two-cluster, 1.7e-5 at 131k, and 2.4e-4 ON CHIP at the 1M
+    two-cluster, against the uncompressed path's 1.7e-6 -- for only a
+    1.29x full-step win (989 -> 766 ms).  At flagship scale the 1e-4
+    validation ladder would drop it anyway (the rank-0 fallback), so a
+    nonzero default buys nothing but an extra validation compile.
+    Explicit m2l_rank > 0 (_M2L_RANKS has the sane values) remains a
+    supported ~1e-4-class speed tier, same contract as
+    m2l_dots='bf16x3' (~3e-4, also non-default); the measured-error
+    ladder guards whichever tier is picked."""
+    return 0
 
 
 def _resolve_rank(plan: "SparsePlan", cap: int) -> int:

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from murb_tpu.ops.naive import acc_naive
+from murb_tpu.ops.naive import acc_naive, acc_rect
 from murb_tpu.ops.sparse_fmm import (
     SparsePlan,
     acc_adaptive,
@@ -105,47 +105,76 @@ def test_adaptive_heavy_split():
 
 
 def test_m2l_rank_compression_accuracy():
-    """The shared-basis compressed far sweep (m2l_rank > 0) stays inside
-    the solver's 1e-4 error contract and matches the uncompressed sweep
-    to the operator-truncation level (_m2l_basis docstring: ~1e-6-class
-    at rank 128) -- force AND potential fields."""
-    (qx, qy, qz, gm), q = _two_clusters(n=2000, npad=2048)
-    soft = 0.01
-    full = plan_adaptive(q, 2048, 6, 2, 5, m2l_rank=0)
-    comp = plan_adaptive(q, 2048, 6, 2, 5, m2l_rank=128)
+    """The shared-basis compressed far sweep (explicit m2l_rank > 0)
+    stays inside the solver's 1e-4 error contract and matches the
+    uncompressed sweep to the truncation level -- force AND potential
+    fields.  The distribution must be LARGE enough that some level's
+    occupied capacity crosses the cap >= 2*rank engagement gate
+    (asserted): the original 2k-body version compared identical paths."""
+    from murb_tpu.ops.sparse_fmm import _resolve_rank
+
+    rng = np.random.default_rng(7)
+    n, npad = 30_000, 30_720
+    q = np.concatenate([
+        rng.normal(0, 5.0, (n // 2, 3)) + [-75.0, 0.0, 0.0],
+        rng.normal(0, 5.0, (n - n // 2, 3)) + [75.0, 20.0, -10.0],
+    ]).astype(np.float32)
+    m = (rng.uniform(0.5, 2.0, n) * 1e10).astype(np.float32)
+    qp = np.zeros((npad, 3), np.float32)
+    qp[:n] = q
+    gp = np.zeros(npad, np.float32)
+    gp[:n] = m
+    qx, qy, qz, gm = (jnp.asarray(v)
+                      for v in (qp[:, 0], qp[:, 1], qp[:, 2], gp))
+    soft = 0.02
+    full = plan_adaptive(q, npad, 6, 2, 6, m2l_rank=0)
+    comp = plan_adaptive(q, npad, 6, 2, 6, m2l_rank=128)
     assert full.m2l_rank == 0 and comp.m2l_rank == 128
-    ref = acc_naive(qx, qy, qz, gm, soft)
+    assert _resolve_rank(comp, comp.cell_caps[-1]) == 128, comp.cell_caps
     a_f, phi_f = force_and_potential_adaptive(qx, qy, qz, gm, soft, full)
     a_c, phi_c = force_and_potential_adaptive(qx, qy, qz, gm, soft, comp)
-    assert _max_rel_err(a_c, ref, gm) <= 1e-4
-    # compressed-vs-full: truncation only (well under the solver error)
+    # exact reference on a strided sample (the full 30k^2 rect is slow)
+    idx = np.arange(0, n, 97)
+    ref = acc_rect(qx[idx], qy[idx], qz[idx], qx, qy, qz, gm, soft)
+    sc = float(np.sqrt(np.asarray(ref.ax) ** 2 + np.asarray(ref.ay) ** 2
+                       + np.asarray(ref.az) ** 2).max())
+    de = np.sqrt(
+        (np.asarray(a_c.ax)[idx] - np.asarray(ref.ax)) ** 2
+        + (np.asarray(a_c.ay)[idx] - np.asarray(ref.ay)) ** 2
+        + (np.asarray(a_c.az)[idx] - np.asarray(ref.az)) ** 2)
+    assert de.max() / sc <= 1e-4
+    # compressed-vs-full: truncation only, and NONZERO (proof the
+    # compressed path actually ran)
     sel = np.asarray(gm) > 0
+    diff = 0.0
     for d in ("ax", "ay", "az"):
         fn = np.asarray(getattr(a_f, d))[sel]
         cn = np.asarray(getattr(a_c, d))[sel]
         scale = np.abs(fn).max()
-        assert np.abs(fn - cn).max() <= 2e-4 * scale
+        diff = max(diff, np.abs(fn - cn).max() / scale)
+    assert 0.0 < diff <= 2e-4, diff
     np.testing.assert_allclose(np.asarray(phi_c)[sel],
-                               np.asarray(phi_f)[sel], rtol=2e-4)
+                               np.asarray(phi_f)[sel], rtol=2e-3)
 
 
 def test_m2l_rank_default_gating():
-    """-1 resolves to the measured per-m default ranks (the 1e-5
-    singular-value crossings, 128-lane rounded -- _m2l_basis docstring);
-    m <= 6 has no room to compress; levels under the cap crossover fall
-    back to the uncompressed sweep (via _resolve_rank)."""
-    from murb_tpu.ops.sparse_fmm import (_resolve_rank, default_m2l_rank)
+    """Compression is DEFAULT-OFF at every order (measured round 4:
+    residuals accumulate to ~1e-4-class at flagship scale --
+    default_m2l_rank docstring); explicit ranks are honored, levels
+    under the cap crossover fall back to the uncompressed sweep (via
+    _resolve_rank)."""
+    from murb_tpu.ops.sparse_fmm import (_M2L_RANKS, _resolve_rank,
+                                         default_m2l_rank)
 
-    assert default_m2l_rank(8) == 384
-    assert default_m2l_rank(10) == 640
-    assert default_m2l_rank(12) == 896
-    assert default_m2l_rank(6) == 0
+    assert all(default_m2l_rank(m) == 0 for m in (4, 6, 8, 10, 12))
+    assert _M2L_RANKS == {8: 384, 10: 640, 12: 896}  # explicit tier
     plan = SparsePlan(m=8, dense_levels=2, levels=4, cell_caps=(64,),
                       p2p_pmax=64)
     assert plan.m2l_rank == -1
-    assert _resolve_rank(plan, 4096) == 384
-    assert _resolve_rank(plan, 500) == 0          # cap < 2*rank
-    assert _resolve_rank(plan._replace(m2l_rank=0), 4096) == 0
+    assert _resolve_rank(plan, 4096) == 0             # default: off
+    exp = plan._replace(m2l_rank=384)
+    assert _resolve_rank(exp, 4096) == 384
+    assert _resolve_rank(exp, 500) == 0               # cap < 2*rank
     assert _resolve_rank(plan._replace(m2l_rank=64), 4096) == 64
 
 
