@@ -125,10 +125,16 @@ def main() -> None:
             heavy_factor=64.0, with_phi=False)
         return acc[0, 0].astype(jnp.float32)
 
-    chain_time("far-only (sort+P2M+hier+L2P+unsort)", far_only, it)
-    chain_time("near-only (sort+build+P2P+unsort)", near_only, it)
-    chain_time("hierarchy_fields composed", hierarchy_only, it)
-    chain_time("FULL solve_adaptive", full, it)
+    stages = {"far": ("far-only (sort+P2M+hier+L2P+unsort)", far_only),
+              "near": ("near-only (sort+build+P2P+unsort)", near_only),
+              "hier": ("hierarchy_fields composed", hierarchy_only),
+              "full": ("FULL solve_adaptive", full)}
+    pick = "far,near,hier,full"
+    if "--stages" in sys.argv:
+        pick = sys.argv[sys.argv.index("--stages") + 1]
+    for s in pick.split(","):
+        label, fn = stages[s]
+        chain_time(label, fn, it)
 
 
 if __name__ == "__main__":
