@@ -143,10 +143,16 @@ def _cfg(engine) -> dict:
     if getattr(engine, "near_mode", "interp") == "adaptive":
         cfg["near"] = "adaptive (sparse hierarchy + exact P2P)"
     if not getattr(engine, "using_proxy", True):
-        # keep the m/levels keys (downstream rows index them) but flag it
-        cfg["exact_fallback"] = ("cost model rejected the fast-solver "
-                                 "configs for this box")
-        cfg["validated_err"] = None
+        # nothing fast RAN: report the static requirement under its own
+        # name (a bare "m": 708 reads as a config that executed) and drop
+        # the solver keys entirely (round-4 verdict item 5)
+        cfg = {
+            "exact_fallback": ("cost model rejected the fast-solver "
+                               "configs for this box"),
+            "static_required_m": engine.m,
+            "static_required_levels": engine.levels,
+            "validated_err": None,
+        }
     return cfg
 
 
@@ -196,15 +202,21 @@ class Bench:
     def __init__(self):
         self.t0 = time.time()
         self.deep = os.environ.get("MURB_BENCH_DEEP") == "1"
-        default_budget = 7200.0 if self.deep else 900.0
+        self.huge = os.environ.get("MURB_BENCH_HUGE") == "1"
+        default_budget = 7200.0 if (self.deep or self.huge) else 900.0
         self.budget = float(os.environ.get("MURB_BENCH_BUDGET_S",
                                            default_budget))
+        tier = "default"
+        if self.deep:
+            tier = "deep+huge" if self.huge else "deep"
+        elif self.huge:
+            tier = "huge"
         self.rec: dict = {
             "metric": "ref_gflops_n200k_galaxy",
             "value": None,
             "unit": "GFlop/s (20*N^2/step, 1024^3 divisor, ref convention)",
             "vs_baseline": None,
-            "tier": "deep" if self.deep else "default",
+            "tier": tier,
             "budget_s": self.budget,
             "stage_s": {},
         }
@@ -223,6 +235,20 @@ class Bench:
         self.rec["elapsed_s"] = round(self.elapsed(), 1)
         print(json.dumps(self.rec), flush=True)
 
+    def emit_compact(self) -> None:
+        """One short headline-only line AFTER the full record: the full
+        line grew past the driver's bounded tail capture in round 4
+        (BENCH_r04.json parsed: null, tail starting mid-record), so the
+        LAST stdout line must always be small enough to survive any tail
+        window while still carrying the driver-contract keys."""
+        keys = ("metric", "value", "unit", "vs_baseline", "fps",
+                "n_bodies", "tier", "elapsed_s", "aborted_stage")
+        compact = {k: self.rec[k] for k in keys if k in self.rec}
+        cfg = self.rec.get("proxy_cfg") or {}
+        if cfg.get("validated_err") is not None:
+            compact["validated_err"] = cfg["validated_err"]
+        print(json.dumps(compact), flush=True)
+
     def _watchdog(self) -> None:
         while True:
             time.sleep(5.0)
@@ -232,6 +258,7 @@ class Bench:
                                        "mid-stage (relay hang playbook, "
                                        "CLAUDE.md)")
                 self.emit()
+                self.emit_compact()
                 os._exit(0)
 
     def stage(self, name: str, est_s: float, fn) -> bool:
@@ -279,6 +306,7 @@ def main() -> None:
                           "(futex-hang failure mode, CLAUDE.md); no "
                           "device numbers can be measured this run")
         b.emit()
+        b.emit_compact()
         return
     b.rec["relay"] = "alive (subprocess pre-probe)"
 
@@ -512,7 +540,25 @@ def main() -> None:
 
         b.stage("two_galaxies", 240, s_twogal)
 
+    if b.huge:
+        # --- N=100M: the single-chip scale ceiling row (env-gated out of
+        # the driver's default budget; round-4 verdict item 6 -- the r3
+        # 1.54 FPS claim must be re-backed at HEAD or dropped).  The cfg
+        # carries the measured-validated order + error like every row.
+        def s_100m():
+            n_h = 100_000_000
+            fps, eng = measure("tpu+proxy", 4, n=n_h, warmup=2,
+                               ret_engine=True)
+            b.rec["proxy_scaling_100m"] = {
+                "fps": round(fps, 3),
+                "ref_gflops": round(to_gflops(fps, n_h), 1),
+                "cfg": _cfg(eng),
+            }
+
+        b.stage("proxy_100m_huge", 2400, s_100m)
+
     b.emit()
+    b.emit_compact()
 
 
 if __name__ == "__main__":

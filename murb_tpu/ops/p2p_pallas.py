@@ -317,7 +317,7 @@ def p2p_sweep_pallas_sorted(xs, ys, zs, gs, ci, soft, *, pmax: int,
         in_specs=[
             pl.BlockSpec((1, 8, K),
                          lambda s, tb, nl: (tb[s], 0, 0)),  # target block
-            pl.BlockSpec(memory_space=pltpu.ANY),           # HBM pack
+            pl.BlockSpec(memory_space=pl.ANY),              # HBM pack
             pl.BlockSpec((1, 1, G),
                          lambda s, tb, nl: (s, 0, 0)),      # source idxs
         ],

@@ -38,7 +38,26 @@ from murb_tpu.ops.proxy import bounding_box, heavy_split  # noqa: E402
 from murb_tpu.utils.probe import chain_time  # noqa: E402
 
 
+_STAGES = ("far", "near", "hier", "full")
+
+
+def _parse_stages() -> list[str]:
+    """Validate --stages BEFORE any device work (typos fail instantly)."""
+    pick = "far,near,hier,full"
+    if "--stages" in sys.argv:
+        i = sys.argv.index("--stages") + 1
+        if i >= len(sys.argv):
+            sys.exit(f"--stages needs a value; valid: {','.join(_STAGES)}")
+        pick = sys.argv[i]
+    picks = pick.split(",")
+    for s in picks:
+        if s not in _STAGES:
+            sys.exit(f"unknown stage {s!r}; valid: {', '.join(_STAGES)}")
+    return picks
+
+
 def main() -> None:
+    picks = _parse_stages()
     n = 1_048_576
     if "--n" in sys.argv:
         n = int(sys.argv[sys.argv.index("--n") + 1])
@@ -129,10 +148,7 @@ def main() -> None:
               "near": ("near-only (sort+build+P2P+unsort)", near_only),
               "hier": ("hierarchy_fields composed", hierarchy_only),
               "full": ("FULL solve_adaptive", full)}
-    pick = "far,near,hier,full"
-    if "--stages" in sys.argv:
-        pick = sys.argv[sys.argv.index("--stages") + 1]
-    for s in pick.split(","):
+    for s in picks:
         label, fn = stages[s]
         chain_time(label, fn, it)
 
