@@ -163,7 +163,7 @@ def _build_registry():
                 b, mode=mode,
                 **_filter(kw, "shards", "gpu_fraction", "block_i", "block_j",
                           "ring_impl", "kernel", "m", "levels", "m2l_dots",
-                          "validate"),
+                          "validate", "adapt_every"),
             )
 
         return factory

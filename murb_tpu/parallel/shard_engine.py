@@ -121,7 +121,8 @@ class ShardedEngine(SimulationEngine):
                  gpu_fraction: float | None = None, min_n: int | None = None,
                  kernel: str = "auto", block_i: int = 0, block_j: int = 0,
                  ring_impl: str = "auto", m: int = 0, levels: int = 0,
-                 m2l_dots: str = "fp32", validate: bool = True, **kw):
+                 m2l_dots: str = "fp32", validate: bool = True,
+                 adapt_every: int = 0, **kw):
         import os
 
         kwargs = {}
@@ -244,6 +245,8 @@ class ShardedEngine(SimulationEngine):
         self.mesh = make_mesh(shards)
         self.n_shards = self.mesh.devices.size
         self.mode = mode
+        self.adapt_every = int(adapt_every)
+        self._auto = not (m or levels)   # fixed configs are never churned
         self.gpu_fraction = gpu_fraction
         self.kernel_name = _default_kernel() if kernel == "auto" else kernel
         self.block_i = block_i
@@ -400,6 +403,130 @@ class ShardedEngine(SimulationEngine):
             "required_m_now": needed,
             "ok": ok,
         }
+
+    # ------------------------------------------------------- mid-run re-plan
+    def maybe_adapt(self) -> bool:
+        """Mid-run re-plan for the far-field modes (the sharded
+        counterpart of ProxyEngine.maybe_adapt; the mode docstring's
+        stated contract, parallel/shard_adaptive.py:18-19): when
+        proxy_health reports not-ok -- the system drifted out of the
+        frozen box, overflowed a planned capacity, or outgrew the
+        compiled order -- rebuild the plan from the CURRENT gathered
+        state and recompile the step.  Only *invalid* configs are
+        rebuilt (no compile churn); explicit (m, levels) configs are
+        never churned.  Syncs the device; call between frames, never
+        inside jit.  Returns True if the engine was reconfigured.
+
+        The reference's own mid-run-adaptivity precedent is the hetero
+        engine's per-iteration env re-read
+        (ref: SimulationNBodyHetero.cu:217-227)."""
+        if not self._auto:
+            return False
+        health = self.proxy_health()
+        if health is None or health.get("ok", True):
+            return False
+        if self.mode == "adaptive":
+            self._replan_adaptive()
+            return True
+        if self.mode in ("proxy", "fmm"):
+            return self._reconfigure_far()
+        return False
+
+    def _replan_adaptive(self) -> None:
+        """Re-run plan_shard_adaptive at the CURRENT distribution: new
+        frozen box + residence ranges + capacities, bodies re-permuted
+        into the new Morton residence, step/loop caches dropped.  The
+        order m is kept: adaptive accuracy is scale-free (the |o| >= 2
+        separation ratio does not depend on the box), so growth is a
+        pure CAPACITY event; (Ld, L) re-pick for the new occupancy."""
+        import dataclasses
+
+        import numpy as np
+
+        from murb_tpu.parallel.shard_adaptive import plan_shard_adaptive
+
+        state = self.bodies                  # identity-order view
+        keys = ("m", "r", "qx", "qy", "qz", "vx", "vy", "vz")
+        host = {k: np.asarray(getattr(state, k)) for k in keys}
+        act = host["m"] > 0
+        qh = np.stack([host["qx"], host["qy"], host["qz"]],
+                      1).astype(np.float32)
+        base = self.adaptive_plan.base
+        self.adaptive_plan, perm = plan_shard_adaptive(
+            qh, state.npad, self.n_shards, base.m, active=act,
+            m2l_rank=base.m2l_rank)
+        new = dataclasses.replace(
+            state, **{k: jnp.asarray(v[perm]) for k, v in host.items()})
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        self._inv_perm = inv
+        self._state = shard_state(new, self.mesh)
+        self._step = None
+        self._run_cache.clear()
+
+    def _reconfigure_far(self) -> bool:
+        """Re-derive the proxy/fmm pick at the grown box (the ctor's
+        static rungs; the measured certification applied to the OLD box,
+        so it is cleared).  Promotion chain proxy -> fmm -> adaptive
+        mirrors the build-time policy ladder."""
+        from murb_tpu import DEFAULT_SOFTENING  # noqa: F401  (parity)
+        from murb_tpu.ops.fmm import best_depth, fmm_order, required_levels
+        from murb_tpu.ops.proxy import half_extent, required_order
+
+        old = (self.mode, getattr(self, "proxy_m", None),
+               getattr(self, "fmm_m", None),
+               getattr(self, "fmm_levels", None))
+        half = half_extent(self._state.unpadded())
+        mode = self.mode
+        if mode == "proxy":
+            m_auto = required_order(half * 1.5, self.soft, 1e-4, margin=0)
+            m_auto = (m_auto + 3) // 4 * 4
+            if m_auto > 24:
+                mode = "fmm"
+            else:
+                self.proxy_m = m_auto
+        if mode == "fmm":
+            lv_req = required_levels(half, self.soft)
+            if fmm_order(half, self.soft, lv_req, 1e-4) > 16:
+                return self._promote_to_adaptive()
+            self.fmm_m, self.fmm_levels = best_depth(
+                self._state.npad, half, self.soft)
+        if (mode, getattr(self, "proxy_m", None),
+                getattr(self, "fmm_m", None),
+                getattr(self, "fmm_levels", None)) == old:
+            return False
+        self.mode = mode
+        self.validated_err = None
+        self.validated_half = None
+        self._step = None
+        self._run_cache.clear()
+        return True
+
+    def _promote_to_adaptive(self) -> bool:
+        """proxy/fmm -> adaptive mid-run: the box outgrew every dense
+        config (same rung as the ctor's promotion), so build the sharded
+        adaptive plan from the current state and switch the step."""
+        from murb_tpu.ops.sparse_fmm import SparsePlan, adaptive_order
+        from murb_tpu.parallel.shard_adaptive import ShardAdaptivePlan
+
+        self.mode = "adaptive"
+        self.proxy_heavy_k = 1
+        self.validated_err = None
+        self.validated_half = None
+        # seed a placeholder so _replan_adaptive can read base.m/rank
+        self.adaptive_plan = ShardAdaptivePlan(
+            base=SparsePlan(m=adaptive_order(1e-4), dense_levels=2,
+                            levels=3, cell_caps=(1,), p2p_pmax=1),
+            c=(0.0, 0.0, 0.0), h=1.0, bounds=(0,), local_cap=1,
+            export_cap=256, stray_cap=64, concat_pmax=32)
+        self._replan_adaptive()
+        return True
+
+    def compute_one_iteration(self) -> None:
+        if (self.adapt_every and self._iteration
+                and self._iteration % self.adapt_every == 0):
+            self.maybe_adapt()
+        super().compute_one_iteration()
 
     # ------------------------------------------------------------ step build
     def _local_step_fn(self):
@@ -717,6 +844,21 @@ class ShardedEngine(SimulationEngine):
     def run(self, n_iterations: int) -> None:
         if n_iterations <= 0:
             return
+        if self.adapt_every:
+            # segment the loop so re-plan checkpoints land every
+            # adapt_every iterations (the ProxyEngine.run pattern)
+            done = 0
+            while done < n_iterations:
+                until = self.adapt_every - self._iteration % self.adapt_every
+                k = min(until, n_iterations - done)
+                self._run_segment(k)
+                done += k
+                if done < n_iterations:
+                    self.maybe_adapt()
+            return
+        self._run_segment(n_iterations)
+
+    def _run_segment(self, n_iterations: int) -> None:
         fn = self._run_cache.get("loop")
         if fn is None:
             # Unjitted shard_map'd step for the loop body; one compiled

@@ -187,3 +187,48 @@ def test_shard_adaptive_stray_completion(n_devices):
     for got, want in ((ax, ref.ax), (ay, ref.ay), (az, ref.az)):
         err = np.abs(got - np.asarray(want)[:n])
         assert err.max() <= 1e-3 * scale, err.max() / scale
+
+
+def test_shard_adaptive_replan_fires_and_stays_locked(n_devices):
+    """The mid-run re-plan contract (parallel/shard_adaptive.py:18-19,
+    round-4 verdict item 2): a bulk-drifting cluster leaves the FROZEN
+    planned box within a few steps; with ``adapt_every`` set the engine
+    must (a) honor the knob (not silently drop it), (b) fire
+    maybe_adapt -- rebuilding plan/residence/step from the gathered
+    state -- and (c) keep the trajectory oracle-locked through the
+    re-plans.  Drift speed is tuned so the box is exceeded by only a
+    few percent between checks (a body far outside the frozen box
+    extrapolates the Chebyshev basis -- the error the re-plan exists to
+    prevent).  The drift points OUTWARD (-x from the -x cluster): at
+    this degenerate scale every per-shard stray/export capacity
+    saturates above nloc, so out_of_box is the counter a bulk drift can
+    actually trip -- exactly the Chebyshev-extrapolation hazard."""
+    import dataclasses
+
+    bodies = _two_cluster_state(n=2000, seed=5)
+    n = bodies.n
+    # bulk -x velocity on cluster A (at -5e11): ~1.1e11/step vs the
+    # plan's ~1.6e11 -x box margin -- out_of_box trips by step ~2
+    vx = np.asarray(bodies.vx).copy()
+    vx[: n // 2] -= 3.0e7
+    bodies = dataclasses.replace(bodies, vx=jnp.asarray(vx))
+
+    ref = create_engine("cpu+naive", bodies, soft=SOFT, dt=DT)
+    tgt = create_engine("shard+adaptive", bodies, soft=SOFT, dt=DT,
+                        shards=n_devices, adapt_every=1)
+    assert tgt.adapt_every == 1          # the knob must not be dropped
+    plan0 = tgt.adaptive_plan
+
+    steps = 5
+    ref.run(steps)
+    tgt.run(steps)                        # segmented: re-plan checkpoints
+    assert tgt.adaptive_plan is not plan0, "re-plan never fired"
+    assert tgt.adaptive_plan.c != plan0.c or tgt.adaptive_plan.h != plan0.h
+
+    a, b = ref.bodies.unpadded(), tgt.bodies.unpadded()
+    for c in ("qx", "qy", "qz"):
+        assert_within_rel(b[c], a[c], 2e-3, f"replan {c}", rms_floor=5e-6)
+
+    # after a re-plan at the drifted state the plan must be healthy again
+    tgt.maybe_adapt()
+    assert tgt.proxy_health()["ok"]
