@@ -1373,13 +1373,18 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
                  masks, **kw):
         from murb_tpu.core.history import MultiGalaxySimulationHistory
 
-        if kw.get("fused_fmm") or kw.get("fused_adaptive") is not None:
+        if kw.get("fused_adaptive") is not None:
             raise ValueError(
                 "per-galaxy fused metrics support the single-level proxy "
-                "(fused_proxy_m) and the exact kernel; the L-level/adaptive "
-                "hierarchies would need per-galaxy weight channels through "
-                "every level sweep -- use fused_proxy_m, or "
-                "metrics_method='proxy' for fast masked metrics"
+                "(fused_proxy_m), the L-level hierarchy (fused_fmm: masked "
+                "weight channels through P2M/M2M/M2L/L2L, "
+                "ops/fmm.force_and_potential_fmm_pergal) and the exact "
+                "kernel; the ADAPTIVE solver stays rejected -- its "
+                "occupied-cell slot tables and P2P brick packs would need "
+                "a per-galaxy channel through every windowed/sparse stage "
+                "and the Pallas near kernel for a workload (1M+ clustered "
+                "multi-galaxy tracking) that metrics_method='proxy' "
+                "already serves with fast masked metrics"
             )
         history = MultiGalaxySimulationHistory(
             num_iterations, num_galaxies=len(masks)
@@ -1463,6 +1468,16 @@ class MultiGalaxyTrackingEngine(TrackingEngine):
             acc, phi_gal = force_and_potential_proxy_pergal(
                 state.qx, state.qy, state.qz, gm, masks_f, self.soft,
                 m=self._fused_proxy_m)
+            mets = self._metrics_from_phi_rows(state, phi_gal)
+        elif self._fused_fmm:
+            from murb_tpu.ops.fmm import force_and_potential_fmm_pergal
+
+            masks_f = jnp.stack([mk.astype(state.qx.dtype)
+                                 for mk in self.masks])
+            acc, phi_gal = force_and_potential_fmm_pergal(
+                state.qx, state.qy, state.qz, gm, masks_f, self.soft,
+                m=self._fused_fmm[0], levels=self._fused_fmm[1],
+                m2l_dots=self._m2l_dots)
             mets = self._metrics_from_phi_rows(state, phi_gal)
         elif self._use_fused_exact() and len(self.masks) <= 8:
             from murb_tpu.ops.hybrid import acc_phi_rows_hybrid

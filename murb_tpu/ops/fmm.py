@@ -682,3 +682,191 @@ def force_and_potential_fmm(qx, qy, qz, gm, soft, *, m: int = 12,
                           m2l_tile=m2l_tile, near=near, p2p_pmax=p2p_pmax,
                           p2p_chunk=p2p_chunk)
     return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2]), phi
+
+
+# --------------------------------------------- per-galaxy potential pass
+def m2l_phi_multi(wst, hl, soft, *, m: int, C: int,
+                  subset: str = "expand"):
+    """(G, C^3, m^3) node POTENTIAL fields from G channel expansions in
+    ONE offset scan: the (m^3, m^3) rsqrt/transfer build of each offset
+    is shared by every channel (it does not depend on the weights), and
+    each application is a single (G*C^3, m^3)-row matmul -- the far
+    field is linear in the source masses, so per-galaxy potentials are
+    extra WEIGHT CHANNELS through the same operators, never extra
+    sweeps.  Potential only (T_phi = inv, mirror sign +): the force
+    fields come from the ordinary full-weight sweep."""
+    dtype = wst.dtype
+    ngal = wst.shape[0]
+    m3 = m ** 3
+    m2 = m * m
+    t = jnp.asarray(_cheb_nodes(m), dtype)
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    wg = wst.reshape(ngal, C, C, C, m3)
+    wpad = jnp.pad(wg, ((0, 0), (3, 3), (3, 3), (3, 3), (0, 0)))
+    idx = jnp.arange(C)
+    even = (idx % 2) == 0
+    offsets, neg_valid = _offsets_paired(*_SUBSETS[subset])
+
+    pxv = hl[0] * jnp.repeat(t, m2)
+    pyv = hl[1] * jnp.tile(jnp.repeat(t, m), m)
+    pzv = hl[2] * jnp.tile(t, m2)
+
+    def shifted(o):
+        ws = jax.lax.dynamic_slice(
+            wpad, (jnp.int32(0), 3 + o[0], 3 + o[1], 3 + o[2],
+                   jnp.int32(0)),
+            (ngal, C, C, C, m3)
+        ).reshape(ngal, C ** 3, m3)
+        if subset != "near":
+            ws = jnp.where(_parity_mask(o, even, C)[None], ws,
+                           jnp.asarray(0.0, dtype))
+        return ws
+
+    def body(acc, op):
+        o, nv = op
+
+        def dmat(pv, d):
+            return 2.0 * hl[d] * o[d].astype(dtype) + (pv[None, :]
+                                                       - pv[:, None])
+
+        Dx, Dy, Dz = dmat(pxv, 0), dmat(pyv, 1), dmat(pzv, 2)
+        T = jax.lax.rsqrt(Dx * Dx + Dy * Dy + Dz * Dz + soft2)
+        wp = shifted(o)
+        wn = shifted(-o) * nv
+        dot = lambda a, tr: jax.lax.dot_general(
+            a, T, (((2,), (1 if tr else 0,)), ((), ())),
+            precision=_PRECISION, preferred_element_type=dtype,
+        )
+        # T_phi(-o) = +T_phi(o)^T: the mirror rides the same build
+        return acc + dot(wp, True) + dot(wn, False), None
+
+    f0 = jnp.zeros((ngal, C ** 3, m3), dtype)
+    f, _ = jax.lax.scan(
+        body, f0, (jnp.asarray(offsets), jnp.asarray(neg_valid)))
+    return f
+
+
+def phi_grid_pergal(w_stack, h, soft, *, m: int, levels: int):
+    """Finest-level node potential fields (G, C^3, m^3) of G weight
+    channels via the full hierarchy -- the potential-only, multi-channel
+    twin of fmm_field_grid (expand finest subset: the finest
+    27-neighborhood is interpolated, the interp-mode contract)."""
+    ws = {levels: w_stack}
+    for l in range(levels - 1, 0, -1):
+        ws[l] = jax.vmap(functools.partial(m2m, m=m,
+                                           C=2 ** (l + 1)))(ws[l + 1])
+
+    l0 = min(2, levels)
+    f = None
+    for l in range(l0, levels + 1):
+        C = 2 ** l
+        hl = h / C
+        if f is not None:
+            f = jax.vmap(functools.partial(l2l, m=m, C=C // 2))(f)
+        contrib = m2l_phi_multi(ws[l], hl, soft, m=m, C=C,
+                                subset="expand")
+        f = contrib if f is None else f + contrib
+        if l < levels:
+            f = f - m2l_phi_multi(ws[l], hl, soft, m=m, C=C,
+                                  subset="near")
+    return f
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("soft", "m", "levels", "heavy_k", "heavy_factor",
+                     "m2l_dots", "block", "m2l_tile"),
+)
+def force_and_potential_fmm_pergal(qx, qy, qz, gm, masks, soft, *,
+                                   m: int = 12, levels: int = 2,
+                                   heavy_k: int = 1,
+                                   heavy_factor: float =
+                                   DEFAULT_HEAVY_FACTOR,
+                                   m2l_dots: str = "fp32",
+                                   block: int = 0, m2l_tile: int = 0):
+    """(Accel, phi (G, n)): forces plus PER-GALAXY potentials in one
+    hierarchy pass -- the L-level counterpart of
+    ops/proxy.force_and_potential_proxy_pergal (round-4 verdict item 5:
+    tracked multi-galaxy on boxes too wide for the single-cell proxy).
+
+    ``masks`` (G, n): 0/1 galaxy membership rows.  Forces run the
+    ordinary fused hierarchy on the full weights; each galaxy's
+    potential is a masked weight CHANNEL through P2M -> M2M -> the
+    shared-build potential sweeps (m2l_phi_multi) -> L2L -> one fused
+    multi-field L2P.  Heavy bodies are corrected per galaxy with shared
+    distance builds (the proxy pergal's rows pattern).  Self term
+    included per row (ref: SimulationNBodyCUDAPropertyTracking.cu:
+    296-302)."""
+    from murb_tpu.ops.proxy import (
+        heavy_source_phi_rows,
+        heavy_target_phi_rows,
+    )
+
+    dtype = qx.dtype
+    n = qx.shape[0]
+    ngal = masks.shape[0]
+    gm_pos = gm > 0
+    C = 2 ** levels
+
+    c, h = bounding_box(qx, qy, qz, gm_pos)
+    k = max(min(heavy_k, n), 1)
+    mean_gm = jnp.sum(gm) / jnp.maximum(jnp.sum(gm_pos.astype(dtype)), 1.0)
+    hq, heavy_gm, is_heavy, top_idx, gm_eff = heavy_split(
+        qx, qy, qz, gm, k, heavy_factor, mean_gm
+    )
+
+    from murb_tpu.ops.fmm_pallas import fmm_fused_block
+
+    blk = fmm_fused_block(n, m, C)
+    if blk and block:
+        blk = pick_block(n, min(block, blk * 4))
+    block_l2p = fmm_fused_block(n, m, C, nf=3 + ngal)
+    if block_l2p and block:
+        block_l2p = pick_block(n, min(block, block_l2p * 4))
+    if blk or block_l2p:
+        from murb_tpu.ops.common import notify_fp32_compute
+
+        notify_fp32_compute("tpu+tracking+multi (fused anterpolation)",
+                            dtype)
+    if blk:
+        from murb_tpu.ops.fmm_pallas import p2m_grid_fused
+
+        p2m_one = lambda g_: p2m_grid_fused(qx, qy, qz, g_, c, h, m=m,
+                                            C=C, block=blk)
+    else:
+        p2m_one = lambda g_: p2m_grid(qx, qy, qz, g_, c, h, m=m, C=C)
+    w = p2m_one(gm_eff)
+    wg = jnp.stack([p2m_one(gm_eff * masks[g]) for g in range(ngal)])
+
+    fields = fmm_field_grid(w, h, soft, m=m, levels=levels,
+                            with_phi=False, fused=True,
+                            m2l_dots=m2l_dots, m2l_tile=m2l_tile)
+    phi_fields = phi_grid_pergal(wg, h, soft, m=m, levels=levels)
+    all_fields = tuple(fields) + tuple(phi_fields[g] for g in range(ngal))
+    if block_l2p:
+        from murb_tpu.ops.fmm_pallas import l2p_grid_fused
+
+        out = l2p_grid_fused(qx, qy, qz, c, h, all_fields, m=m, C=C,
+                             block=block_l2p)
+    else:
+        out = l2p_grid(qx, qy, qz, c, h, all_fields, m=m, C=C)
+    acc = jnp.stack(out[:3], axis=1)
+    phi_gal = jnp.stack(out[3:])
+
+    # heavy sources exactly, per galaxy (shared distance builds)
+    acc = acc + heavy_source_acc(qx, qy, qz, hq, heavy_gm, soft)
+    hrows = masks[:, top_idx] * heavy_gm[None, :]              # (G, k)
+    phi_gal = phi_gal + heavy_source_phi_rows(qx, qy, qz, hq, hrows, soft)
+
+    # heavy targets exactly
+    ht = acc_rect(hq[0], hq[1], hq[2], qx, qy, qz, gm, soft)
+    ht_acc = jnp.stack([ht.ax, ht.ay, ht.az], 1)
+    acc = acc.at[top_idx].set(
+        jnp.where(is_heavy[:, None], ht_acc, acc[top_idx])
+    )
+    phi_h = heavy_target_phi_rows(qx, qy, qz, masks * gm[None, :], hq,
+                                  soft)
+    phi_gal = phi_gal.at[:, top_idx].set(
+        jnp.where(is_heavy[None, :], phi_h, phi_gal[:, top_idx])
+    )
+    return Accel(ax=acc[:, 0], ay=acc[:, 1], az=acc[:, 2]), phi_gal

@@ -253,10 +253,11 @@ def test_tracking_fused_paths_exclusive():
 
 def test_multi_galaxy_fused_support_matrix():
     """The per-galaxy-mask engine supports the per-galaxy proxy pass
-    (fused_proxy_m, round-4: ops/proxy.force_and_potential_proxy_pergal)
-    but still rejects the single-phi hierarchy steps (fused_fmm /
-    fused_adaptive lack per-galaxy weight channels); the guard must fire
-    through the registry filter."""
+    (fused_proxy_m, round-4) AND the per-galaxy hierarchy pass
+    (fused_fmm, round-5: masked weight channels through P2M/M2M/M2L/L2L,
+    ops/fmm.force_and_potential_fmm_pergal) but still rejects
+    fused_adaptive (no per-galaxy channel through the sparse slot
+    tables); the guard must fire through the registry filter."""
     import jax.numpy as jnp
 
     bodies = SCHEMES["random"](512, 1)
@@ -264,9 +265,13 @@ def test_multi_galaxy_fused_support_matrix():
     e = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
                       num_iterations=2, masks=masks, fused_proxy_m=16)
     assert e._fused_proxy_m == 16
-    with pytest.raises(ValueError, match="fused_"):
+    e2 = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                       num_iterations=2, masks=masks, fused_fmm=(10, 2))
+    assert e2._fused_fmm == (10, 2)
+    with pytest.raises(ValueError, match="ADAPTIVE"):
         create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
-                      num_iterations=2, masks=masks, fused_fmm=(10, 2))
+                      num_iterations=2, masks=masks,
+                      fused_adaptive=object())
 
 
 def test_tracking_repad_invariance():

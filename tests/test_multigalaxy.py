@@ -72,14 +72,16 @@ def test_finalize_history_idempotent():
     np.testing.assert_array_equal(h1, h2)
 
 
-def test_fused_hierarchies_rejected_with_masks():
-    """fused_fmm / fused_adaptive still lack per-galaxy weight channels;
-    the ctor must say so loudly (fused_proxy_m IS supported now)."""
+def test_fused_adaptive_rejected_with_masks():
+    """fused_adaptive still lacks per-galaxy weight channels through the
+    sparse slot tables / P2P bricks; the ctor must say so loudly
+    (fused_proxy_m AND fused_fmm are supported now -- round-5 lift of
+    the hierarchy restriction, ops/fmm.force_and_potential_fmm_pergal)."""
     bodies = SCHEMES["random"](512, 3)
-    with pytest.raises(ValueError, match="fused_proxy_m"):
+    with pytest.raises(ValueError, match="ADAPTIVE"):
         create_engine("tpu+tracking+multi", bodies, num_iterations=2,
                       masks=_half_masks(bodies.npad, bodies.n),
-                      fused_fmm=(8, 2))
+                      fused_adaptive=object())
 
 
 def test_fused_exact_step_matches_unfused():
@@ -105,6 +107,32 @@ def test_fused_exact_step_matches_unfused():
         np.testing.assert_allclose(
             b.history.galaxies[g].ang_momentums,
             a.history.galaxies[g].ang_momentums, rtol=2e-3,
+        )
+
+
+def test_fused_fmm_pergal_engine_matches_exact_metrics():
+    """fused_fmm in the multi engine (round-5: masked weight channels
+    through P2M/M2M/M2L/L2L, ops/fmm.force_and_potential_fmm_pergal):
+    per-galaxy energies from the one-pass hierarchy must match the exact
+    masked-sweep engine at the hierarchy's accuracy."""
+    bodies = SCHEMES["galaxy"](2048, 9)
+    iters = 2
+    masks = _half_masks(bodies.npad, bodies.n)
+    a = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, masks=masks)          # exact
+    b = create_engine("tpu+tracking+multi", bodies, soft=SOFT, dt=DT,
+                      num_iterations=iters, masks=masks,
+                      fused_fmm=(10, 2))
+    a.run(iters)
+    b.run(iters)
+    for g in range(2):
+        np.testing.assert_allclose(
+            b.history.galaxies[g].energies,
+            a.history.galaxies[g].energies, rtol=5e-3,
+        )
+        np.testing.assert_allclose(
+            b.history.galaxies[g].ang_momentums,
+            a.history.galaxies[g].ang_momentums, rtol=5e-3,
         )
 
 
