@@ -542,23 +542,67 @@ def _resolve_rank(plan: "SparsePlan", cap: int) -> int:
     return rank if cap >= 2 * rank else 0
 
 
+#: gathered-operand byte budget per fused-M2L scan step: sets how many
+#: canonical offsets NC batch into one multi-dim-contraction matmul
+#: (K_eff = NC * 2m^3).  Small caps take ALL offsets in one step (the
+#: per-step scan overhead WAS the measured ~10 ms/level floor of the
+#: coarse sparse levels); the finest 1M-class level lands at NC ~ 3-4.
+_M2L_STEP_BYTES = 128 << 20
+
+
+def _m2l_nc(cap: int, m3: int, n_canon: int) -> int:
+    per_offset = max(cap * 2 * m3 * 4, 1)
+    return max(1, min(n_canon, _M2L_STEP_BYTES // per_offset))
+
+
+#: cap threshold for the fused multi-offset M2L form -- DEFAULT 0 (the
+#: per-offset scan everywhere): the fused batched contraction measured
+#: SLOWER at every granularity on the chip (1M two-cluster m=6 L=7
+#: far-only / FULL: all-fused 352/610 ms, fused-coarse-only(<=4096)
+#: 249/565, all-scan 216/555).  The hypothesized ~10 ms/level per-step
+#: scan floor on the coarse levels does not exist -- XLA pipelines the
+#: 158-step scan fine, and the (NC, cap, 2m^3) gathered operand's
+#: relayout + double transfer build cost more than they save (same
+#: verdict class as the r4 shared-basis M2L compression).  The fused
+#: form stays as an opt-in probe tier: MURB_M2L_FUSED=1 (always fused)
+#: / 0 (always scan) / this threshold otherwise.
+_M2L_FUSED_CAP = 0
+
+
+def _m2l_use_fused(cap: int) -> bool:
+    import os
+
+    env = os.environ.get("MURB_M2L_FUSED", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return cap <= _M2L_FUSED_CAP
+
+
 def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
                      with_phi: bool, m2l_dots: str = "fp32",
                      rank: int = 0):
-    """Far sweep at one sparse level: a canonical-offset scan over
-    compacted rows, both signs per step.
+    """Far sweep at one sparse level: canonical-offset accumulation of
+    compacted rows, both signs per offset riding the mirror identity
+    T_d(-o) = -T_d(o)^T (T_phi(-o) = +T_phi(o)^T) so one transfer
+    build serves both.
 
-    Per canonical offset {+o, -o}: build the (nf, m^3, m^3) transfer
-    matrices IN-SCAN (a (NO, nf, m^3, m^3) precomputed tensor is ~1 GB
-    at m = 8 -- its HBM round-trip dominated small-cap levels, measured
-    ~10 ms/level floor), gather each target's source expansion for both
-    signs (precomputed slot tables), and run one (cap, m^3) @
-    (m^3, m^3) matmul per field per sign -- the mirror rides the
-    identity T_d(-o) = -T_d(o)^T (T_phi(-o) = +T_phi(o)^T), so one
-    build serves both.  ALIGNED accumulate (no scatter: accumulator row
-    i is slot i).  Work is NO * cap rows; a true pair-list form would
-    touch only the occupied pairs but pays per-chunk gather/scatter
-    overheads measured 10-40x the arithmetic on XLA:TPU.
+    Two schedulings, dispatched by cap (_m2l_use_fused):
+
+      * scan (big levels): one canonical offset per lax.scan step, the
+        (nf, m^3, m^3) transfer matrices built IN-SCAN (a precomputed
+        (NO, nf, m^3, m^3) tensor is ~1 GB at m = 8 -- its HBM
+        round-trip dominated small-cap levels), one (cap, m^3) @
+        (m^3, m^3) matmul per field per sign, ALIGNED accumulate.
+      * fused (small levels, round 5): NC offsets batch per step and
+        contract JOINTLY -- signs ride the contraction (K) dimension
+        ((cap, 2 m^3) gathered sources), fields ride the output (N)
+        dimension ((2 m^3, nf m^3) columns), and one dot_general with
+        contracting dims {offset, 2 m^3} accumulates offsets INSIDE
+        the matmul (K_eff = NC * 2 m^3).  Kills the ~10 ms/level
+        per-step floor the coarse levels paid under the scan.
+
+    Same MACs, same masks, same mirror algebra either way -- only the
+    scheduling differs; the differential suite pins the numerics.
 
     ``m2l_dots``: "fp32" = HIGHEST (6-pass) matmuls; "bf16x3" = HIGH
     (XLA's 3-pass bf16 split, ~2x the matmul rate, ~3e-5-class dot
@@ -566,7 +610,161 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
     the cancellation-critical |o| = 2).  The engines' measured-error
     validation guards whichever tier is picked.
 
-    ``rank`` > 0 compresses the sweep onto the shared operator basis
+    ``rank`` > 0 compresses onto the shared operator basis (explicit
+    opt-in tier, _m2l_sparse_level_rank).
+
+    Returns nf fields of shape (cap, m^3)."""
+    rank = rank if 0 < rank < m ** 3 else 0
+    if rank:
+        return _m2l_sparse_level_rank(w, cells, hl, soft, m=m, C=C,
+                                      with_phi=with_phi,
+                                      m2l_dots=m2l_dots, rank=rank)
+    if _m2l_use_fused(cells.shape[0]):
+        return _m2l_sparse_level_fused(w, cells, hl, soft, m=m, C=C,
+                                       with_phi=with_phi,
+                                       m2l_dots=m2l_dots)
+    return _m2l_sparse_level_scan(w, cells, hl, soft, m=m, C=C,
+                                  with_phi=with_phi, m2l_dots=m2l_dots)
+
+
+def _m2l_sparse_level_scan(w, cells, hl, soft, *, m: int, C: int,
+                           with_phi: bool, m2l_dots: str = "fp32"):
+    """Per-offset scan scheduling (see m2l_sparse_level)."""
+    dtype = w.dtype
+    cap = cells.shape[0]
+    m3 = m ** 3
+    m2 = m * m
+    nf = 4 if with_phi else 3
+    canon = _canon_far()
+    prec = (jax.lax.Precision.HIGH if m2l_dots == "bf16x3"
+            else _PRECISION)
+
+    spos_p, fnd_p = _neighbor_slots(cells, C, canon, _parity_codes(canon))
+    spos_n, fnd_n = _neighbor_slots(cells, C, -canon,
+                                    _parity_codes(-canon))
+
+    t = jnp.asarray(_cheb_nodes(m), dtype)
+    pxv = hl[0] * jnp.repeat(t, m2)
+    pyv = hl[1] * jnp.tile(jnp.repeat(t, m), m)
+    pzv = hl[2] * jnp.tile(t, m2)
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    o_rows = jnp.asarray(canon, dtype)                     # (NO, 3)
+
+    dot = functools.partial(jax.lax.dot_general, precision=prec,
+                            preferred_element_type=dtype)
+    f0 = tuple(jnp.zeros((cap, m3), dtype) for _ in range(nf))
+
+    def body(acc, args):
+        slp, fp, sln, fn, o = args
+        dm = lambda pv, d: 2.0 * hl[d] * o[d] \
+            + (pv[None, :] - pv[:, None])                  # (m3, m3)
+        Dx, Dy, Dz = dm(pxv, 0), dm(pyv, 1), dm(pzv, 2)
+        inv = jax.lax.rsqrt(Dx * Dx + Dy * Dy + Dz * Dz + soft2)
+        inv3 = inv * inv * inv
+        Ts = [Dx * inv3, Dy * inv3, Dz * inv3]
+        if nf == 4:
+            Ts.append(inv)
+        wp = jnp.where(fp[:, None], w[jnp.minimum(slp, cap)], 0.0)
+        wn = jnp.where(fn[:, None], w[jnp.minimum(sln, cap)], 0.0)
+        out = []
+        for i, a in enumerate(acc):
+            c_p = dot(wp, Ts[i], (((1,), (1,)), ((), ())))  # wp @ T^T
+            c_n = dot(wn, Ts[i], (((1,), (0,)), ((), ())))  # wn @ T
+            out.append(a + c_p + (c_n if i == 3 else -c_n))
+        return tuple(out), None
+
+    fields, _ = jax.lax.scan(
+        body, f0, (spos_p, fnd_p, spos_n, fnd_n, o_rows))
+    return fields
+
+
+def _m2l_sparse_level_fused(w, cells, hl, soft, *, m: int, C: int,
+                            with_phi: bool, m2l_dots: str = "fp32"):
+    """Fused multi-offset scheduling (see m2l_sparse_level)."""
+    dtype = w.dtype
+    cap = cells.shape[0]
+    m3 = m ** 3
+    m2 = m * m
+    nf = 4 if with_phi else 3
+    canon = _canon_far()
+    prec = (jax.lax.Precision.HIGH if m2l_dots == "bf16x3"
+            else _PRECISION)
+
+    NO = len(canon)
+    NC = _m2l_nc(cap, m3, NO)
+    nsteps = -(-NO // NC)
+    # pad the canonical list to a multiple of NC; pad offsets get their
+    # found masks zeroed below, so their (arbitrary but finite) transfer
+    # matrices contribute exactly zero
+    pad = nsteps * NC - NO
+    canon_p = np.concatenate([canon, np.tile(canon[:1], (pad, 1))])
+    live = np.ones((NO + pad,), bool)
+    live[NO:] = False
+
+    spos_p, fnd_p = _neighbor_slots(cells, C, canon_p,
+                                    _parity_codes(canon_p))
+    spos_n, fnd_n = _neighbor_slots(cells, C, -canon_p,
+                                    _parity_codes(-canon_p))
+    live_j = jnp.asarray(live)[:, None]
+    fnd_p = fnd_p & live_j
+    fnd_n = fnd_n & live_j
+
+    t = jnp.asarray(_cheb_nodes(m), dtype)
+    pxv = hl[0] * jnp.repeat(t, m2)
+    pyv = hl[1] * jnp.tile(jnp.repeat(t, m), m)
+    pzv = hl[2] * jnp.tile(t, m2)
+    soft2 = jnp.asarray(soft, dtype) ** 2
+    o_rows = jnp.asarray(canon_p, dtype)                   # (NO_p, 3)
+
+    resh = lambda a: a.reshape(nsteps, NC, cap)
+
+    def transfers(o, sign):
+        """(NC, m^3, m^3) per-field transfer stack at sign * o."""
+        dm = lambda pv, d: (2.0 * sign) * hl[d] * o[:, d, None, None] \
+            + (pv[None, :] - pv[:, None])[None]            # (NC, m3, m3)
+        Dx, Dy, Dz = dm(pxv, 0), dm(pyv, 1), dm(pzv, 2)
+        inv = jax.lax.rsqrt(Dx * Dx + Dy * Dy + Dz * Dz + soft2)
+        inv3 = inv * inv * inv
+        Ts = [Dx * inv3, Dy * inv3, Dz * inv3]
+        if nf == 4:
+            Ts.append(inv)
+        return Ts
+
+    def body(acc, args):
+        slp, fp, sln, fn, o = args                         # (NC, cap), (NC, 3)
+        Tm = transfers(o, -1.0)                            # at -o
+        Tp = transfers(o, +1.0)                            # at +o
+        # column block f: [wp|wn] @ vstack(-T_f(-o), -T_f(+o)) equals
+        # wp @ T_f^T - wn @ T_f (phi: + both) -- the old per-sign dots
+        sg = [-1.0, -1.0, -1.0, 1.0][:nf]
+        top = jnp.concatenate([s * T for s, T in zip(sg, Tm)], axis=-1)
+        bot = jnp.concatenate([s * T for s, T in zip(sg, Tp)], axis=-1)
+        M = jnp.concatenate([top, bot], axis=1)            # (NC, 2m3, nf*m3)
+        wp = jnp.where(fp[..., None], w[jnp.minimum(slp, cap)], 0.0)
+        wn = jnp.where(fn[..., None], w[jnp.minimum(sln, cap)], 0.0)
+        wcat = jnp.concatenate([wp, wn], axis=-1)          # (NC, cap, 2m3)
+        out = jax.lax.dot_general(
+            wcat, M, (((0, 2), (0, 1)), ((), ())),
+            precision=prec, preferred_element_type=dtype)  # (cap, nf*m3)
+        return acc + out, None
+
+    acc0 = jnp.zeros((cap, nf * m3), dtype)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (resh(spos_p), resh(fnd_p), resh(spos_n), resh(fnd_n),
+         o_rows.reshape(nsteps, NC, 3)))
+    return tuple(acc[:, i * m3:(i + 1) * m3] for i in range(nf))
+
+
+def _m2l_sparse_level_rank(w, cells, hl, soft, *, m: int, C: int,
+                           with_phi: bool, m2l_dots: str = "fp32",
+                           rank: int = 0):
+    """Shared-basis COMPRESSED far sweep (explicit opt-in tier only --
+    default_m2l_rank is 0, and m2l_sparse_level routes rank == 0 to the
+    scan/fused dispatch above): the original canonical-offset scan, one
+    offset per step, both signs per step, in r-space.
+
+    ``rank`` compresses the sweep onto the shared operator basis
     (_m2l_basis): gather (cap, r) rows of w @ Q instead of (cap, m^3)
     rows of w, project each in-scan transfer to C = Q^T T Q once per
     offset (shared by the sign pair AND all cap rows), accumulate in
