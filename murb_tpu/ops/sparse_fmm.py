@@ -245,9 +245,36 @@ def _window_basis(bx, by, bz, lo, cs, m: int, C: int):
     return _basis(tx, m), _basis(ty, m), _basis(tz, m)
 
 
+def _window_pallas_block(n: int, m: int, nf: int,
+                         chunk: int = WINDOW_CHUNK) -> int | None:
+    """Block size for the Pallas windowed-anterpolation kernels
+    (ops/anterp_pallas), or None to keep the jnp scan: non-TPU backend,
+    lane-misaligned n, an env override (MURB_ANTERP_PALLAS=0/1), or a
+    VMEM-busting (nf + 2) * (B, m^3) working set (m >= ~10; adaptive
+    orders are <= 8)."""
+    import os
+
+    env = os.environ.get("MURB_ANTERP_PALLAS", "")
+    if env == "0":
+        return None
+    from murb_tpu.ops.anterp_pallas import window_block
+
+    B = window_block(n, chunk)
+    if B is None:
+        return None
+    if (nf + 2) * B * m ** 3 * 4 + 8 * B * B > 12 << 20 and env != "1":
+        return None
+    return B
+
+
 def p2m_window(xs, ys, zs, gs, c, h, slots, cap, *, m: int, C: int,
                chunk: int = WINDOW_CHUNK):
     """P2M on MORTON-SORTED bodies: (cap + 1, m^3) slot expansions.
+
+    On the TPU backend this dispatches to the Pallas sorted-segment
+    kernel (ops/anterp_pallas.p2m_window_pallas: window DMAs + 2-pass
+    exact one-hot dots, round-5); the jnp scan below is the fallback
+    and the differential reference.
 
     Sorted order gives the window property: every occupied cell between
     a chunk's first and last cid has at least one body INSIDE the chunk,
@@ -263,6 +290,12 @@ def p2m_window(xs, ys, zs, gs, c, h, slots, cap, *, m: int, C: int,
     from murb_tpu.ops.common import pick_block
 
     n = xs.shape[0]
+    Bp = _window_pallas_block(n, m, 1, chunk)
+    if Bp is not None:
+        from murb_tpu.ops.anterp_pallas import p2m_window_pallas
+
+        return p2m_window_pallas(xs, ys, zs, gs, c, h, slots, cap=cap,
+                                 m=m, C=C, B=Bp)
     B = pick_block(n, min(chunk, n))
     nb = n // B
     lo = c - h
@@ -302,10 +335,20 @@ def l2p_window(xs, ys, zs, c, h, slots, fields, *, m: int, C: int,
     the field table -- replacing the (216,)-wide row gathers XLA:TPU
     runs at ~150 GB/s with streaming window reads.  Dump bodies read
     zeros (outside-window one-hot rows are all-zero; in-window ones hit
-    the zero dump row)."""
+    the zero dump row).
+
+    On the TPU backend this dispatches to the Pallas sorted-segment
+    kernel (ops/anterp_pallas.l2p_window_pallas; see p2m_window)."""
     from murb_tpu.ops.common import pick_block
 
     n = xs.shape[0]
+    Bp = _window_pallas_block(n, m, len(fields), chunk)
+    if Bp is not None:
+        from murb_tpu.ops.anterp_pallas import l2p_window_pallas
+
+        cap = fields[0].shape[0] - 1
+        return l2p_window_pallas(xs, ys, zs, c, h, slots, tuple(fields),
+                                 cap=cap, m=m, C=C, B=Bp)
     B = pick_block(n, min(chunk, n))
     nb = n // B
     lo = c - h
@@ -606,8 +649,11 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
 
     ``m2l_dots``: "fp32" = HIGHEST (6-pass) matmuls; "bf16x3" = HIGH
     (XLA's 3-pass bf16 split, ~2x the matmul rate, ~3e-5-class dot
-    error); "mixed" maps to fp32 here (the sparse far shell starts at
-    the cancellation-critical |o| = 2).  The engines' measured-error
+    error everywhere -- cancellation-amplified on the |o|_inf = 2
+    shell); "mixed" (round 5) = HIGHEST on the critical |o|_inf = 2
+    shell only and HIGH on the well-separated |o|_inf >= 3 shells,
+    where the transfer entries vary smoothly and the bf16x3 product
+    error stays at its ~2^-21 class.  The engines' measured-error
     validation guards whichever tier is picked.
 
     ``rank`` > 0 compresses onto the shared operator basis (explicit
@@ -623,19 +669,32 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
         return _m2l_sparse_level_fused(w, cells, hl, soft, m=m, C=C,
                                        with_phi=with_phi,
                                        m2l_dots=m2l_dots)
+    if m2l_dots == "mixed":
+        canon = _canon_far()
+        shell = np.max(np.abs(canon), axis=1)
+        crit = _m2l_sparse_level_scan(
+            w, cells, hl, soft, m=m, C=C, with_phi=with_phi,
+            m2l_dots="fp32", canon=canon[shell <= 2])
+        far = _m2l_sparse_level_scan(
+            w, cells, hl, soft, m=m, C=C, with_phi=with_phi,
+            m2l_dots="bf16x3", canon=canon[shell >= 3])
+        return tuple(a + b for a, b in zip(crit, far))
     return _m2l_sparse_level_scan(w, cells, hl, soft, m=m, C=C,
                                   with_phi=with_phi, m2l_dots=m2l_dots)
 
 
 def _m2l_sparse_level_scan(w, cells, hl, soft, *, m: int, C: int,
-                           with_phi: bool, m2l_dots: str = "fp32"):
-    """Per-offset scan scheduling (see m2l_sparse_level)."""
+                           with_phi: bool, m2l_dots: str = "fp32",
+                           canon: np.ndarray | None = None):
+    """Per-offset scan scheduling (see m2l_sparse_level); ``canon``
+    restricts the sweep to an offset subset (the mixed-tier shells)."""
     dtype = w.dtype
     cap = cells.shape[0]
     m3 = m ** 3
     m2 = m * m
     nf = 4 if with_phi else 3
-    canon = _canon_far()
+    if canon is None:
+        canon = _canon_far()
     prec = (jax.lax.Precision.HIGH if m2l_dots == "bf16x3"
             else _PRECISION)
 

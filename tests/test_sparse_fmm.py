@@ -358,3 +358,112 @@ def test_plan_is_static_and_hashable():
     plan = plan_adaptive(q, 2048, 6, 2, 5)
     assert isinstance(hash(plan), int)
     assert plan == SparsePlan(*plan)
+
+
+def _interpret():
+    """interpret=True only off-TPU (the test_fmm pattern): the XLA
+    simplifier de-splits bf16 Dekker dots on the TPU backend; the chip
+    suite (MURB_TEST_TPU=1) exercises the REAL kernels."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def _sorted_window_case(seed, n, C, cap, ghosts=True):
+    import jax.numpy as jnp
+
+    from murb_tpu.ops import sparse_fmm as sf
+
+    rng = np.random.default_rng(seed)
+    q = rng.normal(0, 0.3, (n, 3)).astype(np.float32)
+    g = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    if ghosts:
+        g[-n // 16:] = 0.0
+    c = jnp.zeros(3, jnp.float32)
+    h = jnp.ones(3, jnp.float32)
+    qx, qy, qz = (jnp.asarray(q[:, i]) for i in range(3))
+    gj = jnp.asarray(g)
+    cx, cy, cz = sf._body_cells(qx, qy, qz, c, h, C)
+    key = jnp.where(gj > 0, sf.morton_key(cx, cy, cz, C), sf._BIG)
+    perm = jnp.argsort(key)
+    xs, ys, zs, gs = (v[perm] for v in (qx, qy, qz, gj))
+    cells, slots = sf._occupied_and_slots(key[perm], cap)
+    return (xs, ys, zs, gs), c, h, slots
+
+
+@pytest.mark.parametrize("n,m,C,cap,B", [
+    (512, 4, 8, 64, 256),       # capacity overflow: in-window dump rows
+    (2048, 6, 16, 300, 256),    # multi-chunk carries
+    (2048, 6, 16, 300, 512),
+])
+def test_p2m_window_pallas_matches_jnp(n, m, C, cap, B):
+    """The Pallas sorted-segment P2M (ops/anterp_pallas; interpret on
+    CPU, real kernel on the chip suite) reproduces the jnp windowed
+    scan on every real slot row at the bf16x3 contraction class.  The
+    dump row (never read by any consumer) is zero in the kernel and
+    accumulated by the scan -- compared rows exclude it."""
+    from murb_tpu.ops import anterp_pallas as ap
+    from murb_tpu.ops import sparse_fmm as sf
+
+    (xs, ys, zs, gs), c, h, slots = _sorted_window_case(n, n, C, cap)
+    w1 = sf.p2m_window(xs, ys, zs, gs, c, h, slots, cap, m=m, C=C,
+                       chunk=B)
+    w2 = ap.p2m_window_pallas(xs, ys, zs, gs, c, h, slots, cap=cap,
+                              m=m, C=C, B=B, interpret=_interpret())
+    scale = float(jnp.max(jnp.abs(w1[:cap])))
+    np.testing.assert_allclose(np.asarray(w2[:cap]),
+                               np.asarray(w1[:cap]),
+                               atol=scale * 3e-5)
+
+
+@pytest.mark.parametrize("nf", [3, 4])
+def test_l2p_window_pallas_matches_jnp(nf):
+    """The Pallas sorted-segment L2P gather reproduces the jnp windowed
+    scan for force-only and force+phi field counts."""
+    from murb_tpu.ops import anterp_pallas as ap
+    from murb_tpu.ops import sparse_fmm as sf
+
+    n, m, C, cap, B = 2048, 6, 16, 300, 256
+    (xs, ys, zs, _gs), c, h, slots = _sorted_window_case(7, n, C, cap)
+    rng = np.random.default_rng(8)
+    fields = tuple(
+        jnp.asarray(rng.normal(size=(cap + 1, m ** 3)), jnp.float32)
+        .at[cap].set(0.0) for _ in range(nf))
+    v1 = sf.l2p_window(xs, ys, zs, c, h, slots, fields, m=m, C=C,
+                       chunk=B)
+    v2 = ap.l2p_window_pallas(xs, ys, zs, c, h, slots, fields, cap=cap,
+                              m=m, C=C, B=B, interpret=_interpret())
+    for k in range(nf):
+        scale = float(jnp.max(jnp.abs(v1[k])))
+        np.testing.assert_allclose(np.asarray(v2[k]), np.asarray(v1[k]),
+                                   atol=scale * 3e-5)
+
+
+def test_m2l_mixed_tier_partitions_offsets_exactly():
+    """The mixed dot tier splits the canonical list into |o|_inf = 2 and
+    >= 3 shells and sums two scans; on the CPU backend every precision
+    is full fp32, so the split must reproduce the single-sweep solve to
+    fp32 roundoff -- a partition test (each offset exactly once)."""
+    import jax
+
+    from murb_tpu.ops.sparse_fmm import best_adaptive_plan, solve_adaptive
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    q = np.concatenate([
+        rng.normal(0, 0.02, (n // 2, 3)) - 0.4,
+        rng.normal(0, 0.02, (n - n // 2, 3)) + 0.4,
+    ]).astype(np.float32)
+    g = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    plan, _ = best_adaptive_plan(q, n, 6)
+    qx, qy, qz = (jnp.asarray(q[:, i]) for i in range(3))
+    gj = jnp.asarray(g)
+    kw = dict(heavy_k=1, heavy_factor=64.0, with_phi=True)
+    a_f, p_f = solve_adaptive(qx, qy, qz, gj, 1e-3, plan,
+                              m2l_dots="fp32", **kw)
+    a_m, p_m = solve_adaptive(qx, qy, qz, gj, 1e-3, plan,
+                              m2l_dots="mixed", **kw)
+    s = float(jnp.max(jnp.linalg.norm(a_f, axis=1)))
+    assert float(jnp.max(jnp.abs(a_m - a_f))) <= 1e-5 * s
+    assert float(jnp.max(jnp.abs(p_m - p_f))) \
+        <= 1e-5 * float(jnp.max(jnp.abs(p_f)))
