@@ -683,6 +683,24 @@ def m2l_sparse_level(w, cells, hl, soft, *, m: int, C: int,
                                   with_phi=with_phi, m2l_dots=m2l_dots)
 
 
+def _m2l_scan_chunk() -> int:
+    """Offsets per scan step of the per-offset M2L sweep.  CH > 1 keeps
+    the gather/dot forms of each offset IDENTICAL to the CH = 1 scan but
+    accumulates CH offsets locally before touching the (cap, m^3) scan
+    carries -- dividing the carry read-modify-write traffic (~38 MB per
+    offset per field at the 1M finest level) by CH.  Distinct from the
+    rejected fused multi-offset form (_m2l_sparse_level_fused), which
+    ALSO reshaped the gathers into a (NC, cap, 2m^3) batched contraction
+    and lost to its relayouts.  Addition order within a chunk changes by
+    fp32-rounding only (differential-tested)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("MURB_M2L_SCAN_CHUNK", "1")))
+    except ValueError:
+        return 1
+
+
 def _m2l_sparse_level_scan(w, cells, hl, soft, *, m: int, C: int,
                            with_phi: bool, m2l_dots: str = "fp32",
                            canon: np.ndarray | None = None):
@@ -698,23 +716,38 @@ def _m2l_sparse_level_scan(w, cells, hl, soft, *, m: int, C: int,
     prec = (jax.lax.Precision.HIGH if m2l_dots == "bf16x3"
             else _PRECISION)
 
+    NO = len(canon)
+    CH = min(_m2l_scan_chunk(), NO)
+    nsteps = -(-NO // CH)
+    pad = nsteps * CH - NO
+    if pad:
+        # pad offsets replicate row 0; their found masks are zeroed so
+        # they contribute exactly zero (same discipline as the fused form)
+        canon = np.concatenate([canon, np.tile(canon[:1], (pad, 1))])
+    live = np.ones((NO + pad,), bool)
+    live[NO:] = False
+
     spos_p, fnd_p = _neighbor_slots(cells, C, canon, _parity_codes(canon))
     spos_n, fnd_n = _neighbor_slots(cells, C, -canon,
                                     _parity_codes(-canon))
+    if pad:
+        live_j = jnp.asarray(live)[:, None]
+        fnd_p = fnd_p & live_j
+        fnd_n = fnd_n & live_j
 
     t = jnp.asarray(_cheb_nodes(m), dtype)
     pxv = hl[0] * jnp.repeat(t, m2)
     pyv = hl[1] * jnp.tile(jnp.repeat(t, m), m)
     pzv = hl[2] * jnp.tile(t, m2)
     soft2 = jnp.asarray(soft, dtype) ** 2
-    o_rows = jnp.asarray(canon, dtype)                     # (NO, 3)
+    o_rows = jnp.asarray(canon, dtype)                     # (NO_p, 3)
 
     dot = functools.partial(jax.lax.dot_general, precision=prec,
                             preferred_element_type=dtype)
     f0 = tuple(jnp.zeros((cap, m3), dtype) for _ in range(nf))
 
-    def body(acc, args):
-        slp, fp, sln, fn, o = args
+    def one_offset(slp, fp, sln, fn, o):
+        """CH = 1 unit of work: nf (c_p, c_n) contribution pairs."""
         dm = lambda pv, d: 2.0 * hl[d] * o[d] \
             + (pv[None, :] - pv[:, None])                  # (m3, m3)
         Dx, Dy, Dz = dm(pxv, 0), dm(pyv, 1), dm(pzv, 2)
@@ -726,14 +759,23 @@ def _m2l_sparse_level_scan(w, cells, hl, soft, *, m: int, C: int,
         wp = jnp.where(fp[:, None], w[jnp.minimum(slp, cap)], 0.0)
         wn = jnp.where(fn[:, None], w[jnp.minimum(sln, cap)], 0.0)
         out = []
-        for i, a in enumerate(acc):
+        for i in range(nf):
             c_p = dot(wp, Ts[i], (((1,), (1,)), ((), ())))  # wp @ T^T
             c_n = dot(wn, Ts[i], (((1,), (0,)), ((), ())))  # wn @ T
-            out.append(a + c_p + (c_n if i == 3 else -c_n))
-        return tuple(out), None
+            out.append(c_p + (c_n if i == 3 else -c_n))
+        return out
 
+    def body(acc, args):
+        slp, fp, sln, fn, o = args                   # (CH, cap) / (CH, 3)
+        loc = None
+        for k in range(CH):
+            c_k = one_offset(slp[k], fp[k], sln[k], fn[k], o[k])
+            loc = c_k if loc is None else [a + b for a, b in zip(loc, c_k)]
+        return tuple(a + b for a, b in zip(acc, loc)), None
+
+    resh = lambda a: a.reshape((nsteps, CH) + a.shape[1:])
     fields, _ = jax.lax.scan(
-        body, f0, (spos_p, fnd_p, spos_n, fnd_n, o_rows))
+        body, f0, tuple(map(resh, (spos_p, fnd_p, spos_n, fnd_n, o_rows))))
     return fields
 
 

@@ -439,6 +439,37 @@ def test_l2p_window_pallas_matches_jnp(nf):
                                    atol=scale * 3e-5)
 
 
+def test_m2l_scan_chunk_matches_unchunked(monkeypatch):
+    """MURB_M2L_SCAN_CHUNK batches CH offsets per scan step with local
+    accumulation (carry-traffic lever); the gather/dot forms per offset
+    are unchanged, so CH = 5 (which pads: 158 % 5 != 0, and both mixed
+    shells 49/109 pad too) must reproduce CH = 1 to fp32 roundoff."""
+    from murb_tpu.ops.sparse_fmm import best_adaptive_plan, solve_adaptive
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    q = np.concatenate([
+        rng.normal(0, 0.02, (n // 2, 3)) - 0.4,
+        rng.normal(0, 0.02, (n - n // 2, 3)) + 0.4,
+    ]).astype(np.float32)
+    g = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    plan, _ = best_adaptive_plan(q, n, 6)
+    qx, qy, qz = (jnp.asarray(q[:, i]) for i in range(3))
+    gj = jnp.asarray(g)
+    kw = dict(heavy_k=1, heavy_factor=64.0, with_phi=True)
+    a_1, p_1 = solve_adaptive(qx, qy, qz, gj, 1e-3, plan, **kw)
+    monkeypatch.setenv("MURB_M2L_SCAN_CHUNK", "5")
+    a_5, p_5 = solve_adaptive(qx, qy, qz, gj, 1e-3, plan, **kw)
+    s = float(jnp.max(jnp.linalg.norm(a_1, axis=1)))
+    assert float(jnp.max(jnp.abs(a_5 - a_1))) <= 1e-5 * s
+    assert float(jnp.max(jnp.abs(p_5 - p_1))) \
+        <= 1e-5 * float(jnp.max(jnp.abs(p_1)))
+    # mixed tier composes with chunking (padding exercised on both shells)
+    a_m, _ = solve_adaptive(qx, qy, qz, gj, 1e-3, plan,
+                            m2l_dots="mixed", **kw)
+    assert float(jnp.max(jnp.abs(a_m - a_1))) <= 1e-5 * s
+
+
 def test_m2l_mixed_tier_partitions_offsets_exactly():
     """The mixed dot tier splits the canonical list into |o|_inf = 2 and
     >= 3 shells and sums two scans; on the CPU backend every precision
