@@ -283,13 +283,19 @@ class Bench:
 
 def relay_alive(attempts: int = 2, timeout_s: float = 90.0) -> bool:
     """Pre-probe the axon relay in a subprocess (the in-process probe can
-    hang forever on a futex -- CLAUDE.md relay-outage playbook)."""
+    hang forever on a futex -- CLAUDE.md relay-outage playbook).
+
+    Probes an actual device round-trip, not just jax.devices(): the
+    half-dead mode observed in round 5 enumerates devices fine while
+    every TRANSFER futex-hangs, and a devices()-only probe waves a bench
+    through to a guaranteed watchdog abort."""
+    probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "x = jnp.asarray(np.ones((8,), np.float32)); "
+             "print(float(jax.block_until_ready(x * 2.0)[0]))")
     for _ in range(attempts):
         try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(len(jax.devices()))"],
-                timeout=timeout_s, capture_output=True)
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=timeout_s, capture_output=True)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
@@ -494,6 +500,45 @@ def main() -> None:
 
     b.stage("baseline_tables", 120, s_tables)
 
+    # --- two-galaxy collision scheme (milkyway+andromeda IC family,
+    # ref: Bodies.cpp two-galaxy tab loader): the production workload
+    # of the multi-galaxy tracking engine.  Default tier (round-4
+    # verdict item 3: the tracked-vs-untracked merger comparison must
+    # land in the driver artifact).  In the .tab's scaled units
+    # (1 kpc -> 1e9 m) the CLI-default physics is merger-correct
+    # (make_two_galaxy_tab.py docstring).
+    def s_twogal():
+        n_tg = 81_920
+        fps, eng = measure("tpu+proxy", 200, n=n_tg,
+                           scheme="two_galaxies", warmup=10,
+                           ret_engine=True)
+        b.rec["two_galaxies_n81920"] = {
+            "fps": round(fps, 2),
+            "ref_gflops": round(to_gflops(fps, n_tg), 1),
+            "cfg": _cfg(eng),
+        }
+        b.emit()
+        # fully tracked multi-galaxy merger (per-galaxy energy/|L|/
+        # density center EVERY step): on this box the cost model
+        # rejects the fast solvers, so the tracked step runs the
+        # fused exact kernel -- force + BOTH per-galaxy potential
+        # rows from ONE all-pairs sweep (ops/hybrid.acc_phi_rows_
+        # hybrid; ref: SimulationHistory.cpp:153-184 sums per-galaxy
+        # series it never computes on device).  r3 unfused baseline
+        # was 17.4 tracked / 33.5 untracked = 0.52x.
+        from murb_tpu.core.init import milkyway_andromeda_masks
+
+        st_tg = _bodies(n_tg, "two_galaxies")
+        masks = milkyway_andromeda_masks(st_tg.npad, st_tg.n)
+        fps_t = measure("tpu+tracking+multi", 120, n=n_tg,
+                        scheme="two_galaxies", warmup=10,
+                        num_iterations=144, masks=masks)
+        row = b.rec["two_galaxies_n81920"]
+        row["fps_tracked_multi"] = round(fps_t, 2)
+        row["tracked_vs_untracked"] = round(fps_t / fps, 2)
+
+    b.stage("two_galaxies", 300, s_twogal)
+
     if b.deep:
         # --- large-N proxy scaling ladder: the N-scaling capability row
         # of the fast solver, galaxy scheme, at the measured-validated
@@ -521,24 +566,6 @@ def main() -> None:
                 b.emit()
 
         b.stage("proxy_scaling", 240, s_ladder_large)
-
-        # --- two-galaxy collision scheme (milkyway+andromeda IC family,
-        # ref: Bodies.cpp two-galaxy tab loader): the production workload
-        # of the multi-galaxy tracking engine, on the plain proxy solver.
-        # In the .tab's scaled units (1 kpc -> 1e9 m) the CLI-default
-        # physics is merger-correct (make_two_galaxy_tab.py docstring).
-        def s_twogal():
-            n_tg = 81_920
-            fps, eng = measure("tpu+proxy", 300, n=n_tg,
-                               scheme="two_galaxies", warmup=10,
-                               ret_engine=True)
-            b.rec["two_galaxies_n81920"] = {
-                "fps": round(fps, 2),
-                "ref_gflops": round(to_gflops(fps, n_tg), 1),
-                "cfg": _cfg(eng),
-            }
-
-        b.stage("two_galaxies", 240, s_twogal)
 
     if b.huge:
         # --- N=100M: the single-chip scale ceiling row (env-gated out of
