@@ -12,6 +12,22 @@ numpy, for target-brick sizes Kt in {128, 64, 32, 16, 8} at the shipping
                useful work, Kt-independent)
   util         true / slots -- the headroom a tighter target bbox buys
 
+plus a cell-packed variant (whole Morton-ordered cells packed into
+128-slot bricks, flush-on-overflow, so brick bboxes stay tight at the
+cost of dead padding rows).
+
+Measured verdicts at 1M two-cluster (m=6 L=7, 16880 occupied cells,
+mean 62.1 bodies/cell, 9.16 G true near pairs):
+
+  Kt ladder    45.8% util at Kt=128 -> 56.7% at Kt=32 for 3.1x the
+               brick pairs and per-step fixed costs -- diminishing.
+  cell-packed  17.66 G slots vs 20.01 G Morton (12% fewer; 83.4% fill
+               eats the tighter bboxes) -- NOT worth a second packing
+               scatter + a 1.2x body-array inflation.
+
+The sweep is VPU-compute-bound at its current geometry; remaining
+levers are per-slot op count and G retune, ~10-20% class.
+
     python scripts/p2p_util_probe.py [--n 1048576]
 """
 from __future__ import annotations
@@ -100,7 +116,68 @@ def main() -> None:
         v = cs[:ntrim].reshape(-1, Kb, 3)
         return v.min(1), v.max(1)
 
+    # --- cell-packed bricks: pack whole Morton-ordered cells into
+    # 128-slot bricks (cells > 128 split across bricks), so each brick's
+    # cell bbox stays tight at the cost of dead padding rows.  Dead rows
+    # sweep but contribute zero; the metric is swept slots, so the
+    # padding is priced in.
+    # uniq is sorted by linear code, not Morton -- re-sort cells by the
+    # Morton key of their coords so packed bricks stay spatially local
+    cx_u, cy_u, cz_u = uniq // (C * C) % C, uniq // C % C, uniq % C
+
+    def interleave3_64(v, bits):
+        out = np.zeros_like(v)
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (3 * b)
+        return out
+
+    mkey = (interleave3_64(cx_u, bits) << 2) \
+        | (interleave3_64(cy_u, bits) << 1) | interleave3_64(cz_u, bits)
+    oc = np.argsort(mkey)
+    K = 128
+    bricks = []          # list of (rows_used, lo3, hi3)
+    cur_rows, cur_lo, cur_hi = 0, None, None
+    for ci_ in oc:
+        cnt_c = int(cnt[ci_])
+        cc = np.array([cx_u[ci_], cy_u[ci_], cz_u[ci_]])
+        if cnt_c > K - cur_rows and cur_rows > 0:
+            # whole cell doesn't fit: flush (padding) -- never split a
+            # cell that would fit in an empty brick
+            bricks.append((cur_rows, cur_lo, cur_hi))
+            cur_rows, cur_lo, cur_hi = 0, None, None
+        while cnt_c > 0:
+            take = min(cnt_c, K - cur_rows)
+            cur_lo = cc if cur_lo is None else np.minimum(cur_lo, cc)
+            cur_hi = cc if cur_hi is None else np.maximum(cur_hi, cc)
+            cur_rows += take
+            cnt_c -= take
+            if cur_rows == K:
+                bricks.append((cur_rows, cur_lo, cur_hi))
+                cur_rows, cur_lo, cur_hi = 0, None, None
+    if cur_rows:
+        bricks.append((cur_rows, cur_lo, cur_hi))
+    lo_p = np.stack([b[1] for b in bricks])
+    hi_p = np.stack([b[2] for b in bricks])
+    Bp = len(bricks)
+    counts_p = np.zeros(Bp, np.int64)
+    for k in range(0, Bp, 4096):
+        sl = slice(k, min(k + 4096, Bp))
+        adj = np.ones((sl.stop - sl.start, Bp), bool)
+        for d in range(3):
+            adj &= (lo_p[None, :, d] <= hi_p[sl, d][:, None] + 1) \
+                 & (lo_p[sl, d][:, None] <= hi_p[None, :, d] + 1)
+        counts_p[sl] = adj.sum(1)
     G = 32
+    pairs_p = int(counts_p.sum())
+    padded_p = int(np.sum((counts_p + G - 1) // G * G))
+    slots_p = padded_p * K * K
+    rows_used = sum(b[0] for b in bricks)
+    print(f"cell-packed: bricks {Bp} (vs {nact // K} morton), "
+          f"fill {rows_used / (Bp * K) * 100:.1f}%  "
+          f"pairs {pairs_p}  padded {padded_p}  "
+          f"slots {slots_p / 1e9:7.2f} G  util "
+          f"{true_pairs / slots_p * 100:5.1f} %", flush=True)
+
     lo_s, hi_s = boxes(128)
     for Kt in (128, 64, 32, 16, 8):
         lo_t, hi_t = boxes(Kt)
