@@ -507,13 +507,14 @@ class ProxyEngine(EulerAccelEngine):
         st = self._state
         gm = self._gm(st)
 
-        def err_at(m, rank=None):
+        def err_at(m, rank=None, dots=None):
             plan = self._plan_at(m, rank)
+            tier = dots or self.m2l_dots
 
             def acc(qx, qy, qz, g):
                 return acc_adaptive(qx, qy, qz, g, self.soft, plan,
                                     heavy_k=self.heavy_k,
-                                    m2l_dots=self.m2l_dots)
+                                    m2l_dots=tier)
 
             return measured_force_error(st.qx, st.qy, st.qz, gm,
                                         self.soft, acc)
@@ -543,6 +544,20 @@ class ProxyEngine(EulerAccelEngine):
                 if err0 < err:
                     self._plan = self._plan._replace(m2l_rank=0)
                     err = err0
+            # Same discipline for the dot tiers: bf16x3's |o|=2-shell
+            # rounding floor (~3e-4 class) does not shrink with m either
+            # -- on a first-rung miss, step the tier toward fp32
+            # (bf16x3 -> mixed -> fp32) before burning escalation rungs.
+            _stronger = {"bf16x3": "mixed", "mixed": "fp32"}
+            while err > self.tol and self.m2l_dots in _stronger:
+                tier = _stronger[self.m2l_dots]
+                errt = err_at(m, dots=tier)
+                if errt >= err:
+                    break
+                print(f"adaptive validation: m2l_dots={self.m2l_dots} "
+                      f"floors at {err:.1e} > tol; dropping to {tier} "
+                      f"({errt:.1e})")
+                self.m2l_dots, err = tier, errt
             while err > self.tol and m + 2 <= 12:
                 m += 2
                 err = err_at(m)

@@ -327,6 +327,36 @@ def test_proxy_engine_adaptive_trajectory_matches_oracle():
         np.testing.assert_allclose(a[k], b[k], rtol=1e-3, atol=1e-6)
 
 
+def test_adaptive_ladder_drops_lossy_dots_tier(monkeypatch):
+    """A lossy m2l_dots tier whose rounding floor misses tol must be
+    stepped toward fp32 BEFORE the ladder burns m-escalation rungs (the
+    same discipline as the compression drop: the floor does not shrink
+    with m).  CPU runs every tier at full fp32, so the tier error is
+    injected by patching acc_adaptive."""
+    import murb_tpu.ops.sparse_fmm as sf_mod
+    from murb_tpu.models.engines import ProxyEngine
+
+    real = sf_mod.acc_adaptive
+    scale = {"bf16x3": 3e-3, "mixed": 1e-3, "fp32": 0.0}
+
+    def fake(qx, qy, qz, gm, soft, plan, *, heavy_k, m2l_dots="fp32",
+             **kw):
+        acc = real(qx, qy, qz, gm, soft, plan, heavy_k=heavy_k,
+                   m2l_dots=m2l_dots, **kw)
+        f = 1.0 + scale[m2l_dots]
+        return type(acc)(ax=acc.ax * f, ay=acc.ay * f, az=acc.az * f)
+
+    monkeypatch.setattr(sf_mod, "acc_adaptive", fake)
+    static = ProxyEngine(_cluster_bodies(), soft=0.01, dt=1e-3,
+                         near="adaptive", validate=False)
+    eng = ProxyEngine(_cluster_bodies(), soft=0.01, dt=1e-3,
+                      near="adaptive", validate=True, m2l_dots="bf16x3",
+                      tol=1e-4)
+    assert eng.m2l_dots == "fp32"          # stepped bf16x3 -> mixed -> fp32
+    assert eng.validated_err is not None and eng.validated_err <= 1e-4
+    assert eng.m <= static.m               # no escalation rungs burned
+
+
 def test_proxy_engine_adaptive_health_contract():
     from murb_tpu.models.engines import ProxyEngine
 
