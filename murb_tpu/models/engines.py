@@ -623,6 +623,28 @@ class ProxyEngine(EulerAccelEngine):
         m, levels, cells, err = validate_config(
             st.qx, st.qy, st.qz, gm, self.soft, self.tol,
             self.m, self.levels, self.cells, half, make_acc)
+        # Lossy M2L dot tiers floor independently of order (the dense
+        # bf16x3 tier measures ~3e-4-class on the |o|=2 shell): when the
+        # ladder lands above tol on a hierarchy config under a lossy
+        # tier, re-run it one tier stronger (bf16x3 -> mixed -> fp32)
+        # instead of shipping the miss -- the adaptive ladder's
+        # tier-drop discipline on the dense path.
+        _stronger = {"bf16x3": "mixed", "mixed": "fp32"}
+        while (err > self.tol and levels
+               and self.m2l_dots in _stronger):
+            old = self.m2l_dots
+            self.m2l_dots = _stronger[old]
+            m2, l2, c2, err2 = validate_config(
+                st.qx, st.qy, st.qz, gm, self.soft, self.tol,
+                self.m, self.levels, self.cells, half, make_acc)
+            if err2 < err:
+                print(f"hierarchy validation: m2l_dots={old} floors at "
+                      f"{err:.1e} > tol; dropping to {self.m2l_dots} "
+                      f"({err2:.1e})")
+                m, levels, cells, err = m2, l2, c2, err2
+            else:
+                self.m2l_dots = old
+                break
         self.validated_err = err
         from murb_tpu.ops.validate import certified_half
         self.validated_half = certified_half(m, levels, float(half), err,

@@ -327,6 +327,34 @@ def test_fmm_fused_block_eligibility():
 
 
 # ------------------------------------------------------------------ engine
+def test_hierarchy_ladder_drops_lossy_dots_tier(monkeypatch):
+    """Dense-path mirror of the adaptive tier-drop: a lossy m2l_dots
+    whose rounding floor misses tol steps toward fp32 instead of
+    shipping the miss (CPU runs every tier at full fp32, so the tier
+    error is injected by patching acc_fmm)."""
+    import murb_tpu.ops.fmm as fmm_mod
+    from murb_tpu.models.engines import ProxyEngine
+
+    real = fmm_mod.acc_fmm
+    scale = {"bf16x3": 3e-3, "mixed": 1e-3, "fp32": 0.0}
+
+    def fake(qx, qy, qz, gm, soft, *, m, levels, m2l_dots="fp32", **kw):
+        a = real(qx, qy, qz, gm, soft, m=m, levels=levels,
+                 m2l_dots=m2l_dots, **kw)
+        f = 1.0 + scale[m2l_dots]
+        return type(a)(ax=a.ax * f, ay=a.ay * f, az=a.az * f)
+
+    monkeypatch.setattr(fmm_mod, "acc_fmm", fake)
+    # auto policy at this box: m=8 L=2, on-proxy -- explicit m/levels
+    # would SKIP validation (user override contract), so rely on auto
+    bodies = SCHEMES["random"](8192, 11)
+    e = ProxyEngine(bodies, soft=SOFT, dt=DT,
+                    m2l_dots="bf16x3", tol=1e-4, validate=True)
+    assert e.levels >= 1                  # stayed on the hierarchy
+    assert e.m2l_dots == "fp32"           # stepped bf16x3 -> mixed -> fp32
+    assert e.validated_err is not None and e.validated_err <= 1e-4
+
+
 def test_proxy_engine_auto_selects_fmm_for_random_at_scale():
     """VERDICT round-1 'done' criterion: the random scheme at production N
     auto-selects the hierarchical mode (no exact fallback).  Construction
