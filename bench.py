@@ -285,7 +285,7 @@ class Bench:
         return ok
 
 
-def relay_alive(attempts: int = 2, timeout_s: float = 90.0) -> bool:
+def relay_alive(attempts: int = 3, timeout_s: float = 150.0) -> bool:
     """Pre-probe the axon relay in a subprocess (the in-process probe can
     hang forever on a futex -- CLAUDE.md relay-outage playbook).
 
