@@ -312,9 +312,10 @@ def main() -> None:
     b = Bench()
 
     if not relay_alive():
-        b.rec["relay"] = ("dead: jax.devices() hung/failed twice in 90 s "
-                          "(futex-hang failure mode, CLAUDE.md); no "
-                          "device numbers can be measured this run")
+        b.rec["relay"] = ("dead: the device round-trip probe hung/failed "
+                          "on every attempt (futex-hang failure mode, "
+                          "CLAUDE.md); no device numbers can be measured "
+                          "this run")
         b.emit()
         b.emit_compact()
         return
